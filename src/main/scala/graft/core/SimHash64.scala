@@ -1,0 +1,33 @@
+package graft.core
+
+/** SimHash (Charikar) 64-bit fingerprint from a shingle-hash multiset:
+  * per-bit vote of +1/−1 over the item hashes; fingerprint bit j set iff the
+  * vote is positive. Hamming distance on fingerprints approximates cosine
+  * similarity of the shingle vectors — used as a cheap prefilter before
+  * exact Jaccard (north_star: "SimHash fingerprints").
+  */
+object SimHash64 {
+
+  def fingerprint(shingleHashes: Array[Long]): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < shingleHashes.length) {
+      val h = shingleHashes(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  @inline def hammingDist(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
