@@ -1,24 +1,83 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.core.DedupConfig
+import graft.pipeline.{DedupPipeline, Transcripts}
+
+/** Benchmark main. Prints ONE JSON line:
+  *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
+  *    "dedup":{...turns/sec at local[8] and local[cpus], scaling efficiency...}}
+  *
+  * The dedup block is the BASELINE.md scaling protocol: identical job +
+  * identical input at two parallelism levels (stand-in for N vs 4N
+  * executors); efficiency = T(N)/(4·T(4N)).
+  */
 object Bench {
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", (cores * 2).toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def timed[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val lowCores = math.max(1, cpus / 4)
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "10000").toInt
+
+    // --- dedup scaling benchmark: same input, cpus/4 vs cpus cores --------
+    val turns = Transcripts.generate(nConvs)
+    val nTurns = turns.size.toLong
+    val cfg = DedupConfig()
+
+    def dedupRun(cores: Int, parts: Int): Double = {
+      val s = session(cores)
+      try {
+        val df = Transcripts.asDataFrame(s, turns, parts)
+        // warmup: small slice to JIT-compile the hot paths before timing
+        DedupPipeline.run(df.where(org.apache.spark.sql.functions.col("conv_id") <= "conv-000200"), cfg).count()
+        timed { DedupPipeline.run(df, cfg).count() }
+      } finally s.stop()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val secLow = dedupRun(lowCores, lowCores * 2)
+    val secHigh = dedupRun(cpus, cpus * 2)
+    val tpLow = nTurns / secLow
+    val tpHigh = nTurns / secHigh
+    val eff = secLow / (4.0 * secHigh)
+
+    // --- headline queries on the driver-provided tables -------------------
+    val spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = try timed { fn(spark, sfDir).count() } catch { case _: Throwable => -1.0 }
+      name -> sec
+    }
     spark.stop()
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val dedup =
+      f"""{"n_convs":$nConvs,"n_turns":$nTurns,"cores_low":$lowCores,"cores_high":$cpus,""" +
+      f""""sec_low":$secLow%.3f,"sec_high":$secHigh%.3f,""" +
+      f""""turns_per_sec_low":$tpLow%.1f,"turns_per_sec_high":$tpHigh%.1f,""" +
+      f""""scaling_efficiency":$eff%.3f}"""
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup":$dedup}""")
   }
 }

@@ -1,0 +1,196 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core._
+
+/** The Spark-native near-duplicate detection + clustering pipeline
+  * (BASELINE.json north_star; stage numbering per SURVEY.md §2b).
+  *
+  * Scale design notes (100 TB / 10^12 turns):
+  *  - P2 doc reconstruction: ONE shuffle on conv_id; stable (turn_idx, ts)
+  *    ordering done with array_sort inside the aggregate, not a window
+  *    (windows would shuffle + sort the full turn stream twice).
+  *  - P3/P4 signatures: map-side only, no shuffle. One pass computes
+  *    shingles + MinHash + SimHash per doc.
+  *  - P5 banding: map-side explode; band keys are codegen'd built-ins
+  *    (xxhash64 over signature slices).
+  *  - P6 candidates: groupBy-free "chain + star" within each band bucket
+  *    using window functions — emits ≤ 2 edges per bucket member instead of
+  *    the O(m²) all-pairs self-join. Connectivity within a bucket is
+  *    preserved (star to the bucket min + chain between sort-adjacent
+  *    members), so cluster-level dup-pair recall is unaffected while hot
+  *    boilerplate buckets (the skew driver) stay LINEAR. This is the
+  *    structural skew guard; AQE skew-join splitting covers the residual
+  *    joins (P9).
+  *  - P7 verification: exact Jaccard on sorted shingle arrays (merge
+  *    intersect) gated FIRST; suffix-automaton LCS + SimHash distance only
+  *    on survivors. Two hash joins keyed by conv_id.
+  *  - P8 clustering: alternating large-star/small-star contraction
+  *    (O(log n) rounds), window-min based — no collect_list, no RDDs;
+  *    lineage cut per round with localCheckpoint.
+  */
+object DedupPipeline {
+
+  /** P2: transcripts → docs(conv_id, doc, n_turns, doc_len).
+    * Stable turn ordering: array_sort over struct(turn_idx, ts, text) sorts
+    * lexicographically by field order — deterministic tie-break per
+    * input_hint ("per-turn text equality under stable turn ordering"). */
+  def buildDocs(transcripts: DataFrame): DataFrame =
+    transcripts
+      .select(col("conv_id"), col("turn_idx"), col("ts"), col("text"))
+      .groupBy(col("conv_id"))
+      .agg(
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(struct(col("turn_idx"), col("ts"), col("text")))),
+            s => s.getField("text"))).as("doc"),
+        count(lit(1)).cast("int").as("n_turns"))
+      .withColumn("doc_len", length(col("doc")).cast("long"))
+
+  /** P3+P4: docs → signatures(conv_id, shingles, minhash, simhash).
+    * Slice-1 implementation: one Scala UDF computing all three in a single
+    * pass over the UTF-8 bytes (shared shingle set). Slice 2 swaps in a
+    * Catalyst expression (graft.functions) — same output contract. */
+  def signatures(docs: DataFrame, cfg: DedupConfig): DataFrame = {
+    val k = cfg.shingleK; val n = cfg.numHashes; val seed = cfg.seed
+    val sigUdf = udf { (text: String) =>
+      val sh = Shingles.shinglesOf(if (text == null) "" else text, k, seed)
+      val mh = new MinHasher(n, seed) // cheap to construct; coefficients are tabulated
+      (sh, mh.signature(sh), SimHash64.fingerprint(sh))
+    }
+    docs.withColumn("sig", sigUdf(col("doc")))
+      .select(col("conv_id"), col("doc"), col("doc_len"),
+        col("sig._1").as("shingles"),
+        col("sig._2").as("minhash"),
+        col("sig._3").as("simhash"))
+  }
+
+  /** P5: signatures → bands(conv_id, band_idx, band_key).
+    * band_key folds the band index in, so one global shuffle key space
+    * serves all bands. Map-side only. */
+  def bands(signatures: DataFrame, cfg: DedupConfig): DataFrame = {
+    val r = cfg.rowsPerBand
+    val keys = transform(
+      sequence(lit(0), lit(cfg.bands - 1)),
+      i => xxhash64(i, slice(col("minhash"), i * lit(r) + lit(1), lit(r))))
+    signatures
+      .select(col("conv_id"), posexplode(keys).as(Seq("band_idx", "band_key")))
+  }
+
+  /** P6: bands → cand_pairs(a, b) with a < b.
+    * Chain + star per band bucket via window functions (see scale notes).
+    * Bucket membership is sorted by conv_id so output is deterministic. */
+  def candidatePairs(bands: DataFrame, cfg: DedupConfig): DataFrame = {
+    val w = Window.partitionBy(col("band_key")).orderBy(col("conv_id"))
+    val wAll = Window.partitionBy(col("band_key"))
+      .orderBy(col("conv_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withNeighbors = bands
+      .select(col("band_key"), col("conv_id"))
+      .withColumn("prev", lag(col("conv_id"), 1).over(w))
+      .withColumn("bmin", first(col("conv_id")).over(wAll))
+    val chain = withNeighbors
+      .where(col("prev").isNotNull)
+      .select(col("prev").as("a"), col("conv_id").as("b"))
+    val star = withNeighbors
+      .where(col("bmin") =!= col("conv_id") && col("bmin") =!= col("prev"))
+      .select(col("bmin").as("a"), col("conv_id").as("b"))
+    chain.unionByName(star)
+      .where(col("a") < col("b")) // defensive; ordering already guarantees it
+      .distinct()
+  }
+
+  /** P7: verify candidate pairs with exact Jaccard (gate, matches the
+    * oracle's criterion) then LCS + SimHash distance on survivors.
+    * Returns verified_pairs(a, b, jaccard, lcs_len, simhash_dist). */
+  def verifyPairs(candPairs: DataFrame, signatures: DataFrame, cfg: DedupConfig): DataFrame = {
+    val sig = signatures.select(col("conv_id"), col("shingles"), col("simhash"), col("doc"))
+    val jaccardUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+      Shingles.jaccardSorted(a.toArray, b.toArray)
+    }
+    val lcsUdf = udf { (a: String, b: String) => Lcs.lcsLength(a, b) }
+
+    val joined = candPairs
+      .join(sig.select(col("conv_id").as("a"), col("shingles").as("sh_a"),
+        col("simhash").as("sim_a"), col("doc").as("doc_a")), Seq("a"))
+      .join(sig.select(col("conv_id").as("b"), col("shingles").as("sh_b"),
+        col("simhash").as("sim_b"), col("doc").as("doc_b")), Seq("b"))
+      .withColumn("jaccard", jaccardUdf(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= lit(cfg.tauJaccard)) // the oracle-parity gate
+    joined
+      .withColumn("lcs_len", lcsUdf(col("doc_a"), col("doc_b")))
+      .withColumn("simhash_dist", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .select(col("a"), col("b"), col("jaccard"), col("lcs_len"), col("simhash_dist"))
+  }
+
+  /** P8: connected components over verified pair edges — alternating
+    * large-star / small-star contraction (Kiveris et al., MR-CC), expressed
+    * with window mins only (no collect_list, no GraphX/RDD).
+    * Returns cluster_assignments(conv_id, cluster_id) for every node in
+    * `allNodes`; singletons get their own id. */
+  def connectedComponents(edges0: DataFrame, allNodes: DataFrame,
+                          maxIter: Int = 50): DataFrame = {
+    val spark = edges0.sparkSession
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val bidir = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val w = Window.partitionBy(col("u"))
+      bidir
+        .withColumn("m", least(col("u"), min(col("v")).over(w)))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val directed = e.select(
+        greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val w = Window.partitionBy(col("u"))
+      val withMin = directed.withColumn("m", min(col("v")).over(w))
+      withMin.where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(withMin.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    var edges = edges0.select(col("a").as("u"), col("b").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var converged = false
+    var iter = 0
+    var prevFp: (Long, Long) = (-1L, -1L)
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val fpRow = next.agg(
+        count(lit(1)).as("cnt"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("fp")).head()
+      val fp = (fpRow.getLong(0), fpRow.getLong(1))
+      converged = fp == prevFp
+      prevFp = fp
+      edges = next
+      iter += 1
+    }
+
+    // After convergence every edge is (member, root) with root = component min.
+    val roots = edges.groupBy(col("u")).agg(min(col("v")).as("root"))
+    allNodes.select(col("conv_id"))
+      .join(roots.select(col("u").as("conv_id"), col("root")), Seq("conv_id"), "left")
+      .select(col("conv_id"),
+        coalesce(col("root"), col("conv_id")).as("cluster_id"))
+  }
+
+  /** Full pipeline: transcripts → cluster_assignments(conv_id, cluster_id). */
+  def run(transcripts: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val docs = buildDocs(transcripts)
+    val sigs = signatures(docs, cfg)
+    val cand = candidatePairs(bands(sigs, cfg), cfg)
+    val verified = verifyPairs(cand, sigs, cfg)
+    connectedComponents(verified, sigs.select(col("conv_id")))
+  }
+}

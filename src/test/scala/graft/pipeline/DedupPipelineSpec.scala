@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class DedupPipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  val cfg = DedupConfig()
+  lazy val turns = Transcripts.generate(200)
+  lazy val tdf = Transcripts.asDataFrame(spark, turns, 8).cache()
+
+  test("doc reconstruction: per-turn text equality under stable turn ordering") {
+    val docs = DedupPipeline.buildDocs(tdf).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getInt(2))).toMap
+    val local = Transcripts.docsLocal(turns).toMap
+    assert(docs.keySet === local.keySet)
+    // exact equality for every conversation even though input rows are shuffled
+    local.foreach { case (id, doc) =>
+      assert(docs(id)._1 === doc, s"doc mismatch for $id")
+    }
+    val turnCounts = turns.groupBy(_.conv_id).map { case (k, v) => k -> v.size }
+    turnCounts.foreach { case (id, n) => assert(docs(id)._2 === n) }
+  }
+
+  test("signatures: deterministic, match the local reference computation") {
+    val sigs = DedupPipeline.signatures(DedupPipeline.buildDocs(tdf), cfg)
+      .select("conv_id", "shingles", "minhash", "simhash")
+      .collect()
+    val local = Transcripts.docsLocal(turns).toMap
+    val mh = new MinHasher(cfg.numHashes, cfg.seed)
+    sigs.take(20).foreach { r =>
+      val doc = local(r.getString(0))
+      val sh = Shingles.shinglesOf(doc, cfg.shingleK, cfg.seed)
+      assert(r.getSeq[Long](1).toArray.sameElements(sh))
+      assert(r.getSeq[Long](2).toArray.sameElements(mh.signature(sh)))
+      assert(r.getLong(3) === SimHash64.fingerprint(sh))
+    }
+  }
+
+  test("end-to-end: dup-pair recall >= 0.99 vs exact oracle at identical config") {
+    val docsLocal = Transcripts.docsLocal(turns)
+    val truth = OracleDedup.run(docsLocal, cfg)
+    assert(truth.pairs.nonEmpty, "corpus must contain planted dup pairs")
+
+    val assignments = DedupPipeline.run(tdf, cfg).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+    assert(assignments.size === docsLocal.size, "every conversation gets an assignment")
+    val recall = OracleDedup.recall(truth.pairs, assignments)
+    info(s"truth pairs=${truth.pairs.size}, recall=$recall")
+    assert(recall >= 0.99, s"recall $recall below bar (truth=${truth.pairs.size})")
+  }
+
+  test("clusters agree with oracle clusters exactly on this corpus (precision side)") {
+    val docsLocal = Transcripts.docsLocal(turns)
+    val truth = OracleDedup.run(docsLocal, cfg)
+    val assignments = DedupPipeline.run(tdf, cfg).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // pipeline must not merge things the oracle keeps apart beyond transitivity:
+    // every pipeline-co-clustered pair must be oracle-co-clustered
+    val byCluster = assignments.groupBy(_._2).values.map(_.keys.toSeq.sorted)
+    val oracleCl = truth.clusters
+    byCluster.filter(_.size > 1).foreach { members =>
+      val reps = members.map(oracleCl(_)).distinct
+      assert(reps.size === 1,
+        s"pipeline merged across oracle clusters: $members -> $reps")
+    }
+  }
+
+  test("connected components handles chains and singletons") {
+    import spark.implicits._
+    // path graph a-b-c-d-e plus isolated f
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")).toDF("a", "b")
+    val nodes = Seq("a", "b", "c", "d", "e", "f").toDF("conv_id")
+    val got = DedupPipeline.connectedComponents(edges, nodes).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a", "e" -> "a", "f" -> "f"))
+  }
+
+  test("candidate pairs stay linear in bucket size (skew guard)") {
+    import spark.implicits._
+    // 100 members in one hot band bucket: all-pairs would be 4950 edges;
+    // chain+star must emit <= 2 per member.
+    val hot = (1 to 100).map(i => (f"c$i%03d", 0, 42L)).toDF("conv_id", "band_idx", "band_key")
+    val pairs = DedupPipeline.candidatePairs(hot, cfg)
+    val n = pairs.count()
+    assert(n <= 200, s"expected linear candidate count, got $n")
+    // connectivity preserved: chain alone links the whole bucket
+    val nodes = (1 to 100).map(i => f"c$i%03d").toDF("conv_id")
+    val cc = DedupPipeline.connectedComponents(
+      pairs.select(col("a"), col("b")), nodes).select("cluster_id").distinct().count()
+    assert(cc === 1L)
+  }
+}
