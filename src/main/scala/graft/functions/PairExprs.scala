@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.Lcs
+
+/** Exact Jaccard over two SORTED DISTINCT long arrays — merge intersection
+  * directly on `ArrayData` (no array materialization, no allocation; this is
+  * the verification hot loop, SURVEY §4.3: array_intersect+size allocates). */
+case class JaccardSortedExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "jaccard_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaccardSortedExpr.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.JaccardSortedExpr.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSortedExpr =
+    copy(left = l, right = r)
+}
+
+object JaccardSortedExpr {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    if (na == 0 || nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    var x = a.getLong(0); var y = b.getLong(0)
+    while (i < na && j < nb) {
+      if (x == y) {
+        inter += 1; i += 1; j += 1
+        if (i < na) x = a.getLong(i)
+        if (j < nb) y = b.getLong(j)
+      } else if (x < y) {
+        i += 1; if (i < na) x = a.getLong(i)
+      } else {
+        j += 1; if (j < nb) y = b.getLong(j)
+      }
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+}
+
+/** Longest-common-substring length via suffix automaton (linear time). */
+case class LcsLengthExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "lcs_length"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Lcs.lcsLength(a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.core.Lcs.lcsLength($a.toString(), $b.toString())")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LcsLengthExpr =
+    copy(left = l, right = r)
+}

@@ -50,14 +50,22 @@ object DedupPipeline {
       .withColumn("doc_len", length(col("doc")).cast("long"))
 
   /** P3+P4: docs → signatures(conv_id, shingles, minhash, simhash).
-    * Slice-1 implementation: one Scala UDF computing all three in a single
-    * pass over the UTF-8 bytes (shared shingle set). Slice 2 swaps in a
-    * Catalyst expression (graft.functions) — same output contract. */
-  def signatures(docs: DataFrame, cfg: DedupConfig): DataFrame = {
+    * Catalyst expression path (graft.functions.text_signature): one pass
+    * over the UTF-8 bytes, zero-copy, stays inside WholeStageCodegen. */
+  def signatures(docs: DataFrame, cfg: DedupConfig): DataFrame =
+    docs.withColumn("sig",
+        graft.functions.text_signature(col("doc"), cfg.shingleK, cfg.numHashes, cfg.seed))
+      .select(col("conv_id"), col("doc"), col("doc_len"),
+        col("sig.shingles").as("shingles"),
+        col("sig.minhash").as("minhash"),
+        col("sig.simhash").as("simhash"))
+
+  /** Slice-1 UDF variant, kept for benchmarking expression-vs-UDF. */
+  def signaturesUdf(docs: DataFrame, cfg: DedupConfig): DataFrame = {
     val k = cfg.shingleK; val n = cfg.numHashes; val seed = cfg.seed
     val sigUdf = udf { (text: String) =>
       val sh = Shingles.shinglesOf(if (text == null) "" else text, k, seed)
-      val mh = new MinHasher(n, seed) // cheap to construct; coefficients are tabulated
+      val mh = graft.functions.TextSignatureExpr.hasher(n, seed)
       (sh, mh.signature(sh), SimHash64.fingerprint(sh))
     }
     docs.withColumn("sig", sigUdf(col("doc")))
@@ -107,20 +115,15 @@ object DedupPipeline {
     * Returns verified_pairs(a, b, jaccard, lcs_len, simhash_dist). */
   def verifyPairs(candPairs: DataFrame, signatures: DataFrame, cfg: DedupConfig): DataFrame = {
     val sig = signatures.select(col("conv_id"), col("shingles"), col("simhash"), col("doc"))
-    val jaccardUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
-      Shingles.jaccardSorted(a.toArray, b.toArray)
-    }
-    val lcsUdf = udf { (a: String, b: String) => Lcs.lcsLength(a, b) }
-
     val joined = candPairs
       .join(sig.select(col("conv_id").as("a"), col("shingles").as("sh_a"),
         col("simhash").as("sim_a"), col("doc").as("doc_a")), Seq("a"))
       .join(sig.select(col("conv_id").as("b"), col("shingles").as("sh_b"),
         col("simhash").as("sim_b"), col("doc").as("doc_b")), Seq("b"))
-      .withColumn("jaccard", jaccardUdf(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", graft.functions.jaccard_sorted(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= lit(cfg.tauJaccard)) // the oracle-parity gate
     joined
-      .withColumn("lcs_len", lcsUdf(col("doc_a"), col("doc_b")))
+      .withColumn("lcs_len", graft.functions.lcs_length(col("doc_a"), col("doc_b")))
       .withColumn("simhash_dist", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .select(col("a"), col("b"), col("jaccard"), col("lcs_len"), col("simhash_dist"))
   }

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.pipeline.{DedupPipeline, SparkTestSession, Transcripts}
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val cfg = DedupConfig()
+
+  test("text_signature matches the core reference computation") {
+    val docs = Seq("hello world this is a document about spark",
+      "", "short", "emoji ✨ and unicode ü text").toDF("doc")
+    val got = docs.select(
+      text_signature(col("doc"), cfg.shingleK, cfg.numHashes, cfg.seed).as("s"))
+      .select("s.shingles", "s.minhash", "s.simhash").collect()
+    val mh = new MinHasher(cfg.numHashes, cfg.seed)
+    docs.collect().map(_.getString(0)).zip(got).foreach { case (text, row) =>
+      val sh = Shingles.shinglesOf(text, cfg.shingleK, cfg.seed)
+      assert(row.getSeq[Long](0).toArray.sameElements(sh), s"shingles for '$text'")
+      assert(row.getSeq[Long](1).toArray.sameElements(mh.signature(sh)))
+      assert(row.getLong(2) === SimHash64.fingerprint(sh))
+    }
+  }
+
+  test("expression path == UDF path on generated docs") {
+    val turns = Transcripts.generate(50)
+    val docs = DedupPipeline.buildDocs(Transcripts.asDataFrame(spark, turns, 4))
+    val a = DedupPipeline.signatures(docs, cfg)
+      .select("conv_id", "minhash", "simhash").collect()
+      .map(r => r.getString(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    val b = DedupPipeline.signaturesUdf(docs, cfg)
+      .select("conv_id", "minhash", "simhash").collect()
+      .map(r => r.getString(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    assert(a === b)
+  }
+
+  test("jaccard_sorted / lcs_length expressions") {
+    val df = Seq(
+      (Array(1L, 2L, 3L, 4L), Array(3L, 4L, 5L, 6L), "abcdef", "zcdemn"),
+      (Array.empty[Long], Array.empty[Long], "", ""),
+      (Array(1L), Array(2L), "aaaa", "aa")
+    ).toDF("a", "b", "sa", "sb")
+    val got = df.select(
+      jaccard_sorted(col("a"), col("b")).as("j"),
+      lcs_length(col("sa"), col("sb")).as("l")).collect()
+    assert(got(0).getDouble(0) === 2.0 / 6.0); assert(got(0).getInt(1) === 3)
+    assert(got(1).getDouble(0) === 1.0); assert(got(1).getInt(1) === 0)
+    assert(got(2).getDouble(0) === 0.0); assert(got(2).getInt(1) === 2)
+  }
+
+  test("SQL registration works") {
+    registerAll(spark)
+    val r = spark.sql(
+      """SELECT jaccard_sorted(array(1L,2L,3L), array(2L,3L,4L)) j,
+                lcs_length('hello world', 'yello word') l,
+                text_signature('some text here', 8, 16, 9001L).simhash s""").head()
+    assert(math.abs(r.getDouble(0) - 0.5) < 1e-12)
+    assert(r.getInt(1) === 8) // "ello wor"
+    assert(r.getLong(2) === SimHash64.fingerprint(
+      Shingles.shinglesOf("some text here", 8, 9001L)))
+  }
+
+  test("null inputs propagate") {
+    val r = spark.sql("SELECT jaccard_sorted(NULL, array(1L)), lcs_length(NULL, 'x')").head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("nullSafeEval (interpreted) path agrees with codegen path") {
+    // force interpreted evaluation via expression.eval on a literal row
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = TextSignatureExpr(Literal(UTF8String.fromString("interpreted check"),
+      org.apache.spark.sql.types.StringType), cfg.shingleK, cfg.numHashes, cfg.seed)
+    val row = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    val sh = Shingles.shinglesOf("interpreted check", cfg.shingleK, cfg.seed)
+    assert(row.getArray(0).toLongArray().sameElements(sh))
+    assert(row.getLong(2) === SimHash64.fingerprint(sh))
+  }
+}
