@@ -172,6 +172,39 @@ object SparkEntry {
       TextOps.langId(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang_pred"), col("lang_score"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- sketch aggregates (SURVEY §2a families) --------------------------
+    "q20_sketch_hll_distinct" -> ((s, dir) => {
+      import graft.functions._
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(hll_count_distinct(col("l_partkey"), 12).as("approx_parts"),
+          hll_count_distinct(col("l_orderkey"), 12).as("approx_orders"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q21_sketch_kll_quantiles" -> ((s, dir) => {
+      import graft.functions._
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(kll_sketch_agg(col("l_extendedprice"), 200).as("sk"))
+        .select(col("l_returnflag"),
+          kll_quantiles(col("sk"), array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("quantiles"),
+          kll_rank(col("sk"), lit(30000.0)).as("rank_30k"),
+          kll_partition_boundaries(col("sk"), 8).as("range_bounds"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // event_type cardinality << sketch capacity ⇒ offset stays 0 ⇒ the
+    // sketch is EXACT here, so this one is SQL-checkable vs DuckDB.
+    "q22_sketch_freq_heavy" -> ((s, dir) => {
+      import graft.functions._
+      t(s, dir, "events")
+        .agg(freq_top_items(freq_sketch_agg(col("event_type"), 10), false).as("t"))
+        .select(explode(col("t")).as("r"))
+        .select(col("r.item").as("item"), col("r.estimate").as("estimate"))
+        .orderBy(col("estimate").desc, col("item"))
     })
   )
 
@@ -216,6 +249,9 @@ object SparkEntry {
                    w -> GREATEST(1, CAST(CEIL(length(w) / 4.0) AS INT)))) AS BIGINT) END AS n_subwords,
          length(text) AS len
          FROM documents ORDER BY doc_id""",
+    "q22_sketch_freq_heavy" ->
+      """SELECT event_type AS item, COUNT(*) AS estimate
+         FROM events GROUP BY 1 ORDER BY estimate DESC, item""",
     "q07_docs_quality" ->
       """SELECT doc_id,
          (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))

@@ -24,6 +24,46 @@ package object functions {
   def lcs_length(a: Column, b: Column): Column =
     c(LcsLengthExpr(e(a), e(b)))
 
+  // ---- sketch aggregates (SURVEY §2a families as Catalyst aggregates) ----
+  import graft.sketch._
+
+  def hll_agg(col: Column, lgK: Int = HllSketch.DefaultLgK): Column =
+    c(HllSketchAgg(e(col), lgK).toAggregateExpression())
+
+  def hll_merge_agg(col: Column, lgK: Int = HllSketch.DefaultLgK): Column =
+    c(HllUnionAgg(e(col), lgK).toAggregateExpression())
+
+  def hll_estimate(col: Column): Column = c(HllEstimate(e(col)))
+
+  def hll_bounds(col: Column, numStdDev: Int): Column =
+    c(HllBounds(e(col), e(org.apache.spark.sql.functions.lit(numStdDev))))
+
+  /** Convenience: approximate distinct count as a long. */
+  def hll_count_distinct(col: Column, lgK: Int = HllSketch.DefaultLgK): Column =
+    org.apache.spark.sql.functions.round(hll_estimate(hll_agg(col, lgK)))
+      .cast("long")
+
+  def kll_sketch_agg(col: Column, k: Int = KllSketch.DefaultK): Column =
+    c(KllSketchAgg(e(col), k).toAggregateExpression())
+
+  def kll_quantiles(sketch: Column, ranks: Column): Column =
+    c(KllQuantiles(e(sketch), e(ranks)))
+
+  def kll_rank(sketch: Column, value: Column): Column =
+    c(KllRank(e(sketch), e(value)))
+
+  def kll_cdf(sketch: Column, splits: Column): Column =
+    c(KllCdf(e(sketch), e(splits)))
+
+  def kll_partition_boundaries(sketch: Column, numParts: Int): Column =
+    c(KllPartitionBoundaries(e(sketch), e(org.apache.spark.sql.functions.lit(numParts))))
+
+  def freq_sketch_agg(col: Column, lgMaxMapSize: Int = FreqSketch.DefaultLgMaxMapSize): Column =
+    c(FreqSketchAgg(e(col), lgMaxMapSize).toAggregateExpression())
+
+  def freq_top_items(sketch: Column, noFalsePositives: Boolean = false): Column =
+    c(FreqTopItems(e(sketch), e(org.apache.spark.sql.functions.lit(noFalsePositives))))
+
   /** Register SQL names (jaccard_sorted, lcs_length, text_signature). */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

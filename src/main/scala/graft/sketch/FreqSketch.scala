@@ -1,0 +1,208 @@
+package graft.sketch
+
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable
+
+/** Clean-room frequent-items ("heavy hitters") sketch with the reference's
+  * semantics (SURVEY §2a F1–F13) — the Misra-Gries/purge variant: when the
+  * counter map exceeds its capacity, subtract the MEDIAN of all counters,
+  * drop non-positive ones, and fold the median into a global `offset`
+  * (reference behavior: frequencies/longs_sketch.go:402-443,
+  * reverse_purge_long_hash_map.go:151-168 — re-derived, not ported).
+  *
+  * Error contract (frequencies/longs_sketch.go:262-325):
+  *   estimate(x) = count(x) + offset, LB = count(x), UB = count(x) + offset,
+  *   a-priori epsilon = 3.5 / maxMapSize.
+  *
+  * Determinism: the reference samples ≤1024 counters for the purge median;
+  * we quickselect over ALL active counters (bounded by maxMapSize) so the
+  * purge is a deterministic function of the map contents — required for
+  * resume + oracle-replay testing (the fork made KLL deterministic for the
+  * same reason, kll/items_sketch.go:866-867).
+  */
+final class FreqSketch[T] private (
+    val lgMaxMapSize: Int,
+    private val counts: mutable.HashMap[T, Long],
+    private var _offset: Long,
+    private var _streamWeight: Long) extends Serializable {
+
+  def this(lgMaxMapSize: Int) = {
+    this(lgMaxMapSize, mutable.HashMap.empty[T, Long], 0L, 0L)
+    require(lgMaxMapSize >= 3 && lgMaxMapSize <= 24, s"lgMaxMapSize out of range: $lgMaxMapSize")
+  }
+
+  def maxMapSize: Int = 1 << lgMaxMapSize
+  /** load factor 0.75 as in the reference (frequencies/utils.go:25-34) */
+  def capacity: Int = (maxMapSize * 3) >> 2
+  def numActive: Int = counts.size
+  def offset: Long = _offset
+  def streamWeight: Long = _streamWeight
+  def isEmpty: Boolean = _streamWeight == 0
+
+  def epsilon: Double = 3.5 / maxMapSize
+  def aprioriError: Double = epsilon * _streamWeight
+  /** maximum estimation error of any single estimate */
+  def maximumError: Long = _offset
+
+  def update(item: T): Unit = update(item, 1L)
+
+  def update(item: T, weight: Long): Unit = {
+    require(weight >= 0, "negative weight")
+    if (weight == 0) return
+    _streamWeight += weight
+    counts.updateWith(item) {
+      case Some(c) => Some(c + weight)
+      case None => Some(weight)
+    }
+    if (counts.size > capacity) purge()
+  }
+
+  private def purge(): Unit = {
+    val values = counts.valuesIterator.toArray
+    val median = QuickSelect.select(values, values.length / 2)
+    counts.filterInPlace { case (_, c) => c > median }
+    counts.mapValuesInPlace { case (_, c) => c - median }
+    _offset += median
+  }
+
+  def estimate(item: T): Long = counts.get(item) match {
+    case Some(c) => c + _offset
+    case None => 0L // reference returns 0 for absent items
+  }
+
+  def lowerBound(item: T): Long = counts.getOrElse(item, 0L)
+  def upperBound(item: T): Long = counts.get(item) match {
+    case Some(c) => c + _offset
+    case None => _offset
+  }
+
+  /** Frequent items above max(threshold, offset).
+    * noFalsePositives=true keeps items whose LOWER bound clears the
+    * threshold; false (no-false-negatives) keeps items whose UPPER bound
+    * does (frequencies/utils.go:36-55 semantics). Sorted by estimate desc,
+    * tie-broken by item string for determinism. */
+  def frequentItems(noFalsePositives: Boolean, threshold: Long = 0L): Seq[(T, Long, Long, Long)] = {
+    val t = math.max(threshold, _offset)
+    val rows = counts.iterator.flatMap { case (item, c) =>
+      val lb = c
+      val ub = c + _offset
+      val keep = if (noFalsePositives) lb > t else ub > t
+      if (keep) Some((item, c + _offset, lb, ub)) else None
+    }.toSeq
+    rows.sortBy { case (item, est, _, _) => (-est, item.toString) }
+  }
+
+  /** Merge: replay other's active counters; offsets add; stream weight is
+    * the sum (frequencies/longs_sketch.go:451-466 semantics). */
+  def merge(other: FreqSketch[T]): FreqSketch[T] = {
+    require(other.lgMaxMapSize == lgMaxMapSize,
+      s"FreqSketch lgMaxMapSize mismatch: $lgMaxMapSize vs ${other.lgMaxMapSize}")
+    if (other.isEmpty) return this
+    val incomingWeight = other._streamWeight
+    other.counts.foreach { case (item, c) =>
+      counts.updateWith(item) {
+        case Some(mine) => Some(mine + c)
+        case None => Some(c)
+      }
+      if (counts.size > capacity) purge()
+    }
+    _offset += other._offset
+    // update() inside the loop would double-count; set weight directly
+    _streamWeight += incomingWeight
+    this
+  }
+
+  def serialize(ser: FreqSketch.Serde[T]): Array[Byte] = {
+    val items = counts.toArray.sortBy(_._1.toString) // canonical order
+    val payload = items.map { case (it, _) => ser.toBytes(it) }
+    val size = 8 + 8 + 8 + 4 + payload.map(_.length + 4 + 8).sum
+    val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(HllSketch.Magic); bb.put(1.toByte); bb.put(FreqSketch.FamilyFreq)
+    bb.put(lgMaxMapSize.toByte); bb.putInt(0) // pad to 8
+    bb.putLong(_offset); bb.putLong(_streamWeight)
+    bb.putInt(items.length)
+    items.zip(payload).foreach { case ((_, c), bytes) =>
+      bb.putInt(bytes.length); bb.put(bytes); bb.putLong(c)
+    }
+    bb.array()
+  }
+}
+
+object FreqSketch {
+  final val FamilyFreq: Byte = 10 // family id convention (internal/family.go:31-44)
+  final val DefaultLgMaxMapSize = 10
+
+  trait Serde[T] extends Serializable {
+    def toBytes(t: T): Array[Byte]
+    def fromBytes(b: Array[Byte]): T
+  }
+
+  object LongSerde extends Serde[Long] {
+    def toBytes(t: Long): Array[Byte] =
+      ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(t).array()
+    def fromBytes(b: Array[Byte]): Long =
+      ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getLong()
+  }
+
+  object StringSerde extends Serde[String] {
+    def toBytes(t: String): Array[Byte] = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def fromBytes(b: Array[Byte]): String = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  def deserialize[T](bytes: Array[Byte], ser: Serde[T]): FreqSketch[T] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bb.get() == HllSketch.Magic, "bad magic")
+    require(bb.get() == 1, "bad serVer")
+    require(bb.get() == FamilyFreq, "bad family")
+    val lgMax = bb.get().toInt
+    bb.getInt()
+    val offset = bb.getLong()
+    val weight = bb.getLong()
+    val n = bb.getInt()
+    val map = mutable.HashMap.empty[T, Long]
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt()
+      val payload = new Array[Byte](len)
+      bb.get(payload)
+      val c = bb.getLong()
+      map.put(ser.fromBytes(payload), c)
+      i += 1
+    }
+    new FreqSketch[T](lgMax, map, offset, weight)
+  }
+}
+
+/** Hoare-partition quickselect: k-th smallest, O(n) expected, in-place,
+  * deterministic pivot (midpoint) — used by the purge median (the
+  * reference's internal/quick_select.go:20-33 role). */
+object QuickSelect {
+  def select(a: Array[Long], k: Int): Long = {
+    var lo = 0
+    var hi = a.length - 1
+    while (lo < hi) {
+      val p = partition(a, lo, hi, lo + (hi - lo) / 2)
+      if (k == p) return a(k)
+      else if (k < p) hi = p - 1
+      else lo = p + 1
+    }
+    a(k)
+  }
+
+  private def partition(a: Array[Long], lo: Int, hi: Int, pivotIdx: Int): Int = {
+    val pivot = a(pivotIdx)
+    swap(a, pivotIdx, hi)
+    var store = lo
+    var i = lo
+    while (i < hi) {
+      if (a(i) < pivot) { swap(a, i, store); store += 1 }
+      i += 1
+    }
+    swap(a, store, hi)
+    store
+  }
+
+  @inline private def swap(a: Array[Long], i: Int, j: Int): Unit = {
+    val t = a(i); a(i) = a(j); a(j) = t
+  }
+}

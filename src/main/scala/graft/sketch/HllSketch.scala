@@ -1,0 +1,258 @@
+package graft.sketch
+
+import java.nio.{ByteBuffer, ByteOrder}
+import graft.core.Murmur3x128
+
+/** Clean-room HLL cardinality sketch with the reference's update/merge/
+  * estimate/serialize lifecycle (SURVEY §2a H1–H20), re-derived from the
+  * published HyperLogLog literature — NOT a port of the reference's code.
+  *
+  * Conventions shared with the reference (behavioral, re-derived):
+  *  - murmur3-x64-128 with seed 9001 over the item's byte image
+  *    (reference: hll/hll_sketch.go:367-369, internal/utils.go:33)
+  *  - coupon = 26-bit slot address from hash lo + 6-bit value
+  *    min(clz(hi),62)+1 (reference: hll/hll_sketch.go:338-343)
+  *  - two-phase state: sparse coupon set → dense 8-bit register array
+  *    (the reference's LIST/SET→HLL8 machine collapsed to one sparse
+  *    phase; LIST-vs-SET is a constant-factor memory optimization)
+  *  - HIP accumulator maintained incrementally while updates are in-order;
+  *    merge invalidates HIP → composite estimate (reference:
+  *    hll/hll_array.go:89-99). Our composite is the classic HLL estimator
+  *    (alpha_m · m²/Σ2^-reg) with linear-counting small-range correction
+  *    (Flajolet et al. 2007, Heule et al. 2013) instead of the reference's
+  *    interpolation tables — estimates differ slightly, error bounds match
+  *    the closed forms (hll/utils.go:51-54).
+  *
+  * Dense registers are a flat Array[Byte] — "columnar-within-one-value",
+  * the layout that makes the TypedImperativeAggregate buffer mapping
+  * natural (SURVEY §1.1).
+  */
+final class HllSketch private (
+    val lgK: Int,
+    private var sparse: java.util.HashSet[Integer],
+    private var regs: Array[Byte],
+    private var hipAccum: Double,
+    private var kxq: Double,
+    private var outOfOrder: Boolean) extends Serializable {
+
+  import HllSketch._
+
+  def this(lgK: Int) = {
+    this(lgK, new java.util.HashSet[Integer](), null, 0.0, 0.0, false)
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4,21], got $lgK") // hll/utils.go:109-114
+  }
+
+  def k: Int = 1 << lgK
+  def isDense: Boolean = regs != null
+
+  // ---- update ------------------------------------------------------------
+
+  def update(bytes: Array[Byte]): Unit = {
+    val (lo, hi) = Murmur3x128.hashBytes(bytes, Murmur3x128.DefaultSeed)
+    couponUpdate(coupon(lo, hi))
+  }
+
+  def update(s: String): Unit =
+    update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def update(v: Long): Unit = {
+    val (lo, hi) = Murmur3x128.hashLong(v, Murmur3x128.DefaultSeed)
+    couponUpdate(coupon(lo, hi))
+  }
+
+  def update(d: Double): Unit = {
+    // canonicalize -0.0 == 0.0 so equal doubles hash equal
+    val canon = if (d == 0.0) 0.0 else d
+    update(java.lang.Double.doubleToLongBits(canon))
+  }
+
+  /** Raw (base,offset,len) update for zero-copy UTF8String hashing. */
+  def updateRaw(base: AnyRef, offset: Long, len: Int): Unit = {
+    val (lo, hi) = Murmur3x128.hash(base, offset, len, Murmur3x128.DefaultSeed)
+    couponUpdate(coupon(lo, hi))
+  }
+
+  private def couponUpdate(c: Int): Unit = {
+    if (isDense) denseUpdate(c)
+    else {
+      sparse.add(c)
+      if (sparse.size > (k >> 2)) promote() // sparse worthwhile until ~K/4 coupons
+    }
+  }
+
+  private def promote(): Unit = {
+    regs = new Array[Byte](k)
+    kxq = k.toDouble // all registers 0: sum 2^-0 over k slots
+    val it = sparse.iterator()
+    while (it.hasNext) denseUpdate(it.next())
+    // HIP is not valid for replayed coupons (duplicates were deduped);
+    // recompute a consistent HIP baseline from the composite estimate
+    hipAccum = compositeEstimate
+    sparse = null
+  }
+
+  private def denseUpdate(c: Int): Unit = {
+    val slot = (c & SlotMask26) & (k - 1)
+    val value = (c >>> ValueShift) & 0x3f
+    val old = regs(slot) & 0xff
+    if (value > old) {
+      // HIP/KxQ incremental maintenance (reference: hll/hll_8array.go:131-147)
+      if (!outOfOrder) hipAccum += k / kxq
+      kxq += invPow2(value) - invPow2(old)
+      regs(slot) = value.toByte
+    }
+    // non-growing updates do not advance HIP: duplicates must not change
+    // the estimate
+  }
+
+  // ---- estimate ----------------------------------------------------------
+
+  def estimate: Double = {
+    if (!isDense) return sparse.size.toDouble // coupons are ~unique hashes below k/4 << 2^26
+    if (outOfOrder) compositeEstimate else hipAccum
+  }
+
+  private def compositeEstimate: Double = {
+    val m = k.toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m) // valid for m >= 128; lgK >= 7 in practice
+    val raw = alpha * m * m / kxq
+    if (raw <= 2.5 * m) {
+      var zeros = 0
+      var i = 0
+      while (i < k) { if (regs(i) == 0) zeros += 1; i += 1 }
+      if (zeros > 0) return m * math.log(m / zeros)
+    }
+    raw
+  }
+
+  /** Closed-form relative standard error (reference: hll/utils.go:51-54). */
+  def rse: Double =
+    (if (outOfOrder) 1.0390 else 0.8326) / math.sqrt(k.toDouble)
+
+  def lowerBound(numStdDev: Int): Double = {
+    require(numStdDev >= 1 && numStdDev <= 3)
+    if (!isDense) return estimate // sparse is near-exact
+    estimate / (1.0 + numStdDev * rse)
+  }
+
+  def upperBound(numStdDev: Int): Double = {
+    require(numStdDev >= 1 && numStdDev <= 3)
+    if (!isDense) return estimate
+    estimate / (1.0 - numStdDev * rse)
+  }
+
+  // ---- merge ---------------------------------------------------------------
+
+  /** In-place union. lgK must match — the reference's downsampling branches
+    * are unimplemented (hll/union.go:273,289,303); we pin one lgK per query
+    * and reject mismatches loudly (SURVEY §7 hard parts). */
+  def merge(other: HllSketch): HllSketch = {
+    require(other.lgK == lgK,
+      s"HLL lgK mismatch: $lgK vs ${other.lgK} (pin one lgK per query)")
+    if (!other.isDense) {
+      val it = other.sparse.iterator()
+      if (!isDense && sparse.size + other.sparse.size <= (k >> 2)) {
+        while (it.hasNext) sparse.add(it.next()) // set-union keeps exactness
+      } else {
+        outOfOrder = true
+        while (it.hasNext) couponUpdate(it.next())
+      }
+    } else {
+      if (!isDense) promote()
+      outOfOrder = true
+      var i = 0
+      while (i < k) {
+        val ov = other.regs(i) & 0xff
+        val mv = regs(i) & 0xff
+        if (ov > mv) {
+          kxq += invPow2(ov) - invPow2(mv)
+          regs(i) = ov.toByte
+        }
+        i += 1
+      }
+    }
+    this
+  }
+
+  // ---- serialize -----------------------------------------------------------
+
+  /** Compact little-endian image (own layout, 8-byte preamble in the spirit
+    * of hll/preamble_utils.go:27-90): canonical — sparse coupons sorted. */
+  def serialize(): Array[Byte] = {
+    if (!isDense) {
+      val coupons = new Array[Int](sparse.size)
+      val it = sparse.iterator()
+      var i = 0
+      while (it.hasNext) { coupons(i) = it.next(); i += 1 }
+      java.util.Arrays.sort(coupons)
+      val bb = ByteBuffer.allocate(8 + 4 + 4 * coupons.length).order(ByteOrder.LITTLE_ENDIAN)
+      putPreamble(bb, mode = 0)
+      bb.putInt(coupons.length)
+      coupons.foreach(bb.putInt)
+      bb.array()
+    } else {
+      val bb = ByteBuffer.allocate(8 + 8 + 8 + k).order(ByteOrder.LITTLE_ENDIAN)
+      putPreamble(bb, mode = 1)
+      bb.putDouble(hipAccum)
+      bb.putDouble(kxq)
+      bb.put(regs)
+      bb.array()
+    }
+  }
+
+  private def putPreamble(bb: ByteBuffer, mode: Int): Unit = {
+    bb.put(Magic)             // 0: magic
+    bb.put(1.toByte)          // 1: serVer
+    bb.put(FamilyHll)         // 2: family id 7 (internal/family.go:31-44 convention)
+    bb.put(lgK.toByte)        // 3: lgK
+    bb.put(mode.toByte)       // 4: mode 0=sparse 1=dense
+    bb.put((if (outOfOrder) 1 else 0).toByte) // 5: flags
+    bb.putShort(0)            // 6-7: pad
+  }
+
+  def copy(): HllSketch = HllSketch.deserialize(serialize())
+}
+
+object HllSketch {
+  final val Magic: Byte = 'G'
+  final val FamilyHll: Byte = 7
+  final val DefaultLgK = 12
+
+  // coupon layout: [valueShift..] 6-bit value | 26-bit slot address
+  final val SlotMask26: Int = (1 << 26) - 1
+  final val ValueShift: Int = 26
+
+  /** coupon from a 128-bit hash (convention per hll/hll_sketch.go:338-343). */
+  def coupon(lo: Long, hi: Long): Int = {
+    val addr = (lo & SlotMask26).toInt
+    val value = math.min(java.lang.Long.numberOfLeadingZeros(hi), 62) + 1
+    (value << ValueShift) | addr
+  }
+
+  private val InvPow2Table: Array[Double] = Array.tabulate(64)(i => math.pow(2.0, -i))
+  @inline def invPow2(v: Int): Double = InvPow2Table(v)
+
+  def deserialize(bytes: Array[Byte]): HllSketch = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bb.get() == Magic, "bad magic")
+    require(bb.get() == 1, "bad serVer")
+    require(bb.get() == FamilyHll, "bad family")
+    val lgK = bb.get().toInt
+    val mode = bb.get().toInt
+    val flags = bb.get().toInt
+    bb.getShort()
+    if (mode == 0) {
+      val n = bb.getInt()
+      val set = new java.util.HashSet[Integer](math.max(16, n * 2))
+      var i = 0
+      while (i < n) { set.add(bb.getInt()); i += 1 }
+      new HllSketch(lgK, set, null, 0.0, 0.0, (flags & 1) == 1)
+    } else {
+      val hip = bb.getDouble()
+      val kxq = bb.getDouble()
+      val regs = new Array[Byte](1 << lgK)
+      bb.get(regs)
+      new HllSketch(lgK, null, regs, hip, kxq, (flags & 1) == 1)
+    }
+  }
+}
