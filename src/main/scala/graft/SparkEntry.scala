@@ -101,6 +101,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // word-trigram Jaccard between consecutive doc ids — n-gram Jaccard as
+    // an exact, SQL-checkable operator (the all-pairs variant rides LSH)
+    "q08_docs_ngram_jaccard" -> ((s, dir) => {
+      val words = split(trim(col("text")), "\\s+")
+      val tri = when(size(words) >= 3,
+        transform(sequence(lit(0), size(words) - 3),
+          i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2),
+            element_at(words, i + 3))))
+        .otherwise(array())
+      val t0 = t(s, dir, "documents").select(col("doc_id"), tri.as("tri"))
+      val l = t0.select(col("doc_id").as("a"), col("tri").as("ta"))
+      val r = t0.select(col("doc_id").as("b"), col("tri").as("tb"))
+      l.join(r, col("b") === col("a") + 1)
+        .where(size(col("ta")) > 0 && size(col("tb")) > 0)
+        .select(col("a"), col("b"),
+          (size(array_intersect(col("ta"), col("tb"))).cast("double") /
+            size(array_union(col("ta"), col("tb")))).as("ngram_jaccard"))
+        .orderBy(col("a"))
+    }),
+
     // ---- dedup pipeline on the documents table (rows-only checks) --------
     "q10_docs_lsh_neardup_pairs" -> ((s, dir) => {
       val cfg = DedupConfig()
@@ -172,6 +192,21 @@ object SparkEntry {
       TextOps.langId(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang_pred"), col("lang_score"))
         .orderBy(col("doc_id"))
+    }),
+
+    "q18_docs_simhash_neardup" -> ((s, dir) => {
+      val cfg = DedupConfig()
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("string").as("conv_id"), col("text").as("doc"),
+          length(col("text")).cast("long").as("doc_len"))
+      val sigs = DedupPipeline.signatures(docs, cfg)
+      DedupPipeline.simhashNearDupPairs(sigs, maxDist = 6, cfg)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "q19_media_stats" -> ((s, _) => {
+      import graft.ops.Multimodal
+      Multimodal.mediaStats(Multimodal.syntheticMedia(s, 2000))
     }),
 
     // ---- sketch aggregates (SURVEY §2a families) --------------------------
@@ -252,6 +287,21 @@ object SparkEntry {
     "q22_sketch_freq_heavy" ->
       """SELECT event_type AS item, COUNT(*) AS estimate
          FROM events GROUP BY 1 ORDER BY estimate DESC, item""",
+    "q08_docs_ngram_jaccard" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CASE WHEN len(w) >= 3
+                       THEN list_transform(range(len(w)-2),
+                            i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+                       ELSE [] END AS tri
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents))
+         SELECT a.doc_id AS a, b.doc_id AS b,
+                CAST(len(list_distinct(list_intersect(a.tri, b.tri))) AS DOUBLE)
+                  / len(list_distinct(a.tri || b.tri)) AS ngram_jaccard
+         FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+         WHERE len(a.tri) > 0 AND len(b.tri) > 0
+         ORDER BY a""",
     "q07_docs_quality" ->
       """SELECT doc_id,
          (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))

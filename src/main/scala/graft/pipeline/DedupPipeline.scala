@@ -128,6 +128,28 @@ object DedupPipeline {
       .select(col("a"), col("b"), col("jaccard"), col("lcs_len"), col("simhash_dist"))
   }
 
+  /** SimHash near-dup pairs via pigeonhole banding: split the 64-bit
+    * fingerprint into 4×16-bit bands; any pair within Hamming distance 3 is
+    * GUARANTEED to agree on at least one band (pigeonhole), so the bucket
+    * join finds it; pairs up to `maxDist` are found with high probability.
+    * Same linear chain+star bucket treatment as MinHash banding. */
+  def simhashNearDupPairs(signatures: DataFrame, maxDist: Int, cfg: DedupConfig): DataFrame = {
+    val bandKeys = array((0 until 4).map { b =>
+      // fold band index into the key: (band, 16-bit slice)
+      xxhash64(lit(b), shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)))
+    }: _*)
+    val bands = signatures.select(col("conv_id"),
+      posexplode(bandKeys).as(Seq("band_idx", "band_key")))
+    val cand = candidatePairs(bands, cfg)
+    val sim = signatures.select(col("conv_id"), col("simhash"))
+    cand
+      .join(sim.select(col("conv_id").as("a"), col("simhash").as("sim_a")), Seq("a"))
+      .join(sim.select(col("conv_id").as("b"), col("simhash").as("sim_b")), Seq("b"))
+      .withColumn("simhash_dist", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .where(col("simhash_dist") <= maxDist)
+      .select(col("a"), col("b"), col("simhash_dist"))
+  }
+
   /** P8: connected components over verified pair edges — alternating
     * large-star / small-star contraction (Kiveris et al., MR-CC), expressed
     * with window mins only (no collect_list, no GraphX/RDD).
