@@ -14,11 +14,16 @@ import graft.pipeline.{DedupPipeline, Transcripts}
   */
 object Bench {
 
+  /** Shuffle partitioning is FIXED across core counts: the scaling
+    * protocol varies only the executor parallelism, exactly like adding
+    * executors to a cluster without re-planning the job. */
+  private val ShufflePartitions = "64"
+
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", (cores * 2).toString)
+      .config("spark.sql.shuffle.partitions", ShufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -40,23 +45,34 @@ object Bench {
     val lowCores = math.max(1, cpus / 4)
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "10000").toInt
 
-    // --- dedup scaling benchmark: same input, cpus/4 vs cpus cores --------
-    val turns = Transcripts.generate(nConvs)
-    val nTurns = turns.size.toLong
+    // --- dedup scaling benchmark: identical parquet input, cpus/4 vs cpus
     val cfg = DedupConfig()
+    val corpusDir = s"/tmp/graft-bench-corpus-$nConvs"
+    val nTurns = {
+      val s = session(cpus)
+      try {
+        val marker = new java.io.File(s"$corpusDir/_SUCCESS")
+        if (!marker.exists()) {
+          val turns = Transcripts.generate(nConvs)
+          Transcripts.asDataFrame(s, turns, 64).write
+            .mode("overwrite").parquet(corpusDir)
+        }
+        s.read.parquet(corpusDir).count()
+      } finally s.stop()
+    }
 
-    def dedupRun(cores: Int, parts: Int): Double = {
+    def dedupRun(cores: Int): Double = {
       val s = session(cores)
       try {
-        val df = Transcripts.asDataFrame(s, turns, parts)
+        val df = s.read.parquet(corpusDir)
         // warmup: small slice to JIT-compile the hot paths before timing
         DedupPipeline.run(df.where(org.apache.spark.sql.functions.col("conv_id") <= "conv-000200"), cfg).count()
         timed { DedupPipeline.run(df, cfg).count() }
       } finally s.stop()
     }
 
-    val secLow = dedupRun(lowCores, lowCores * 2)
-    val secHigh = dedupRun(cpus, cpus * 2)
+    val secLow = dedupRun(lowCores)
+    val secHigh = dedupRun(cpus)
     val tpLow = nTurns / secLow
     val tpHigh = nTurns / secHigh
     val eff = secLow / (4.0 * secHigh)

@@ -104,13 +104,8 @@ object SparkEntry {
     // word-trigram Jaccard between consecutive doc ids — n-gram Jaccard as
     // an exact, SQL-checkable operator (the all-pairs variant rides LSH)
     "q08_docs_ngram_jaccard" -> ((s, dir) => {
-      val words = split(trim(col("text")), "\\s+")
-      val tri = when(size(words) >= 3,
-        transform(sequence(lit(0), size(words) - 3),
-          i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2),
-            element_at(words, i + 3))))
-        .otherwise(array())
-      val t0 = t(s, dir, "documents").select(col("doc_id"), tri.as("tri"))
+      val t0 = t(s, dir, "documents")
+        .select(col("doc_id"), graft.functions.word_ngrams(col("text"), 3).as("tri"))
       val l = t0.select(col("doc_id").as("a"), col("tri").as("ta"))
       val r = t0.select(col("doc_id").as("b"), col("tri").as("tb"))
       l.join(r, col("b") === col("a") + 1)
@@ -129,7 +124,7 @@ object SparkEntry {
           length(col("text")).cast("long").as("doc_len"))
       val sigs = DedupPipeline.signatures(docs, cfg)
       val cand = DedupPipeline.candidatePairs(DedupPipeline.bands(sigs, cfg), cfg)
-      DedupPipeline.verifyPairs(cand, sigs, cfg)
+      DedupPipeline.verifyPairs(cand, sigs, docs, cfg)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"),
           col("lcs_len"), col("simhash_dist"))
         .orderBy(col("a"), col("b"))
@@ -142,7 +137,7 @@ object SparkEntry {
           length(col("text")).cast("long").as("doc_len"))
       val sigs = DedupPipeline.signatures(docs, cfg)
       val cand = DedupPipeline.candidatePairs(DedupPipeline.bands(sigs, cfg), cfg)
-      val verified = DedupPipeline.verifyPairs(cand, sigs, cfg)
+      val verified = DedupPipeline.verifyPairs(cand, sigs, docs, cfg)
       DedupPipeline.connectedComponents(verified, sigs.select(col("conv_id")))
         .orderBy(col("conv_id"))
     }),

@@ -1,0 +1,177 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+import graft.core.MinHasher
+
+/** Native vector kernels for the similarity-search path. The built-in
+  * higher-order functions (zip_with + aggregate) evaluate their lambda per
+  * element through the interpreter — measured ~50µs per 64-dim cosine vs
+  * <1µs for these tight loops over ArrayData. At millions of candidate
+  * pairs that difference is the whole ANN runtime.
+  */
+
+/** cosine(a, b) over array<float>/array<double>, computed in double;
+  * zero vectors score 0. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  private def isFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def inputTypes: Seq[DataType] = {
+    val t = if (isFloat) ArrayType(FloatType) else ArrayType(DoubleType)
+    Seq(t, t)
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.CosineSim.compute($a, $b, $isFloat)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+object CosineSim {
+  def compute(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    if (isFloat) {
+      while (i < n) {
+        val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        val x = a.getDouble(i); val y = b.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** srp_keys(embedding) → array<long> of one sign-random-projection bucket
+  * key per table. Plane sign for (table, plane, coordinate) comes from a
+  * seeded 64-bit mix — deterministic, no stored projection matrix, O(dim ×
+  * planes × tables) per row in one pass. */
+case class SrpKeys(child: Expression, nPlanes: Int, nTables: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def inputTypes: Seq[DataType] =
+    Seq(if (isFloat) ArrayType(FloatType) else ArrayType(DoubleType))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "srp_keys"
+
+  override def nullSafeEval(v: Any): Any =
+    SrpKeys.compute(v.asInstanceOf[ArrayData], nPlanes, nTables, seed, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SrpKeys.compute($c, $nPlanes, $nTables, ${seed}L, $isFloat)")
+
+  override protected def withNewChildInternal(c: Expression): SrpKeys = copy(child = c)
+}
+
+/** word_ngrams(text, n): whitespace-tokenize and emit the n-gram strings
+  * (space-joined) in one pass — the native replacement for
+  * split + transform(sequence(...), concat_ws(...)), whose interpreted
+  * lambda costs ~ms per document. */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(v: Any): Any =
+    WordNgrams.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordNgrams.compute($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): WordNgrams = copy(child = c)
+}
+
+object WordNgrams {
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, n: Int): GenericArrayData = {
+    val s = text.toString
+    // whitespace tokenization equivalent to trim + split("\\s+")
+    val words = new scala.collection.mutable.ArrayBuffer[String](64)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) words += s.substring(start, i)
+    }
+    val m = words.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder(64)
+    var j = 0
+    while (j < m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words(j + k))
+        k += 1
+      }
+      out(j) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+object SrpKeys {
+  def compute(emb: ArrayData, nPlanes: Int, nTables: Int, seed: Long,
+              isFloat: Boolean): GenericArrayData = {
+    val dim = emb.numElements()
+    val keys = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var key = 0L
+      var p = 0
+      while (p < nPlanes) {
+        var s = 0.0
+        var i = 0
+        val planeSeed = seed ^ MinHasher.mix64((t.toLong << 32) | p.toLong)
+        while (i < dim) {
+          val v = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
+          // deterministic ±1 from (planeSeed, i)
+          val sign = if ((MinHasher.mix64(planeSeed + i) & 1L) == 0L) 1.0 else -1.0
+          s += v * sign
+          i += 1
+        }
+        if (s >= 0) key |= (1L << p)
+        p += 1
+      }
+      keys(t) = key + t.toLong * (1L << nPlanes)
+      t += 1
+    }
+    new GenericArrayData(keys)
+  }
+}

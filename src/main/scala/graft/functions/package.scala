@@ -24,6 +24,16 @@ package object functions {
   def lcs_length(a: Column, b: Column): Column =
     c(LcsLengthExpr(e(a), e(b)))
 
+  /** Cosine similarity of two array<float|double> columns (native kernel). */
+  def cosine_sim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
+
+  /** Whitespace-tokenized word n-grams (native, one pass). */
+  def word_ngrams(text: Column, n: Int): Column = c(WordNgrams(e(text), n))
+
+  /** Sign-random-projection LSH bucket keys, one per table. */
+  def srp_keys(emb: Column, nPlanes: Int, nTables: Int, seed: Long = 9001L): Column =
+    c(SrpKeys(e(emb), nPlanes, nTables, seed))
+
   // ---- sketch aggregates (SURVEY §2a families as Catalyst aggregates) ----
   import graft.sketch._
 

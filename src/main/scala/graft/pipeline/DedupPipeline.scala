@@ -49,13 +49,17 @@ object DedupPipeline {
         count(lit(1)).cast("int").as("n_turns"))
       .withColumn("doc_len", length(col("doc")).cast("long"))
 
-  /** P3+P4: docs → signatures(conv_id, shingles, minhash, simhash).
+  /** P3+P4: docs → signatures(conv_id, doc_len, shingles, minhash, simhash).
     * Catalyst expression path (graft.functions.text_signature): one pass
-    * over the UTF-8 bytes, zero-copy, stays inside WholeStageCodegen. */
+    * over the UTF-8 bytes, zero-copy, stays inside WholeStageCodegen.
+    * Deliberately does NOT carry the doc text: signatures flow through the
+    * banding/verification joins, and shuffling the raw corpus alongside
+    * them would multiply shuffle volume (the doc is re-joined only for the
+    * few pairs that survive the Jaccard gate). */
   def signatures(docs: DataFrame, cfg: DedupConfig): DataFrame =
     docs.withColumn("sig",
         graft.functions.text_signature(col("doc"), cfg.shingleK, cfg.numHashes, cfg.seed))
-      .select(col("conv_id"), col("doc"), col("doc_len"),
+      .select(col("conv_id"), col("doc_len"),
         col("sig.shingles").as("shingles"),
         col("sig.minhash").as("minhash"),
         col("sig.simhash").as("simhash"))
@@ -112,19 +116,39 @@ object DedupPipeline {
 
   /** P7: verify candidate pairs with exact Jaccard (gate, matches the
     * oracle's criterion) then LCS + SimHash distance on survivors.
-    * Returns verified_pairs(a, b, jaccard, lcs_len, simhash_dist). */
-  def verifyPairs(candPairs: DataFrame, signatures: DataFrame, cfg: DedupConfig): DataFrame = {
-    val sig = signatures.select(col("conv_id"), col("shingles"), col("simhash"), col("doc"))
-    val joined = candPairs
+    * Returns verified_pairs(a, b, jaccard, lcs_len, simhash_dist).
+    *
+    * Shuffle discipline at scale:
+    *  1. signatures are SEMI-JOINED down to ids that actually appear in a
+    *     candidate pair before the wide join (candidates are a small
+    *     fraction of the corpus - don't shuffle the rest);
+    *  2. the Jaccard gate runs on shingle arrays only;
+    *  3. the raw doc text joins in ONLY for gate survivors, so the O(n)
+    *     suffix-automaton LCS and the heavy text payload touch a tiny set.
+    */
+  def verifyPairs(candPairs: DataFrame, signatures: DataFrame, docs: DataFrame,
+                  cfg: DedupConfig): DataFrame = {
+    val candIds = candPairs.select(col("a").as("conv_id"))
+      .unionByName(candPairs.select(col("b").as("conv_id")))
+      .distinct()
+    val sig = signatures.select(col("conv_id"), col("shingles"), col("simhash"))
+      .join(candIds, Seq("conv_id"), "left_semi")
+
+    val gated = candPairs
       .join(sig.select(col("conv_id").as("a"), col("shingles").as("sh_a"),
-        col("simhash").as("sim_a"), col("doc").as("doc_a")), Seq("a"))
+        col("simhash").as("sim_a")), Seq("a"))
       .join(sig.select(col("conv_id").as("b"), col("shingles").as("sh_b"),
-        col("simhash").as("sim_b"), col("doc").as("doc_b")), Seq("b"))
+        col("simhash").as("sim_b")), Seq("b"))
       .withColumn("jaccard", graft.functions.jaccard_sorted(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= lit(cfg.tauJaccard)) // the oracle-parity gate
-    joined
-      .withColumn("lcs_len", graft.functions.lcs_length(col("doc_a"), col("doc_b")))
       .withColumn("simhash_dist", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .select(col("a"), col("b"), col("jaccard"), col("simhash_dist"))
+
+    val d = docs.select(col("conv_id"), col("doc"))
+    gated
+      .join(d.select(col("conv_id").as("a"), col("doc").as("doc_a")), Seq("a"))
+      .join(d.select(col("conv_id").as("b"), col("doc").as("doc_b")), Seq("b"))
+      .withColumn("lcs_len", graft.functions.lcs_length(col("doc_a"), col("doc_b")))
       .select(col("a"), col("b"), col("jaccard"), col("lcs_len"), col("simhash_dist"))
   }
 
@@ -150,14 +174,39 @@ object DedupPipeline {
       .select(col("a"), col("b"), col("simhash_dist"))
   }
 
-  /** P8: connected components over verified pair edges — alternating
-    * large-star / small-star contraction (Kiveris et al., MR-CC), expressed
-    * with window mins only (no collect_list, no GraphX/RDD).
+  /** P8: connected components over verified pair edges.
     * Returns cluster_assignments(conv_id, cluster_id) for every node in
-    * `allNodes`; singletons get their own id. */
+    * `allNodes`; singletons get their own id; cluster_id = min member id.
+    *
+    * Adaptive strategy: dup-pair edge sets are a small fraction of the
+    * corpus (dup rate × n, NOT n²), so up to `driverMaxEdges` the exact
+    * union-find runs on the driver — one collect, zero iterative shuffles.
+    * Above the threshold (10^12-turn corpora with high dup rates) it
+    * switches to alternating large-star/small-star contraction (Kiveris et
+    * al., MR-CC) expressed with window mins only — no collect_list, no
+    * GraphX/RDD — converging in O(log n) rounds with per-round
+    * localCheckpoint lineage cuts. Both paths produce IDENTICAL
+    * assignments (min-id representative), so the switch is invisible to
+    * resume/recall. */
   def connectedComponents(edges0: DataFrame, allNodes: DataFrame,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          driverMaxEdges: Long = 2000000L): DataFrame = {
     val spark = edges0.sparkSession
+
+    val edgeCount = edges0.count()
+    if (edgeCount <= driverMaxEdges) {
+      import spark.implicits._
+      val uf = new UnionFind[String]()
+      edges0.select(col("a"), col("b")).collect().foreach { r =>
+        uf.union(r.getString(0), r.getString(1))
+      }
+      val asg = uf.assignments().toSeq.sorted.toDF("conv_id", "root")
+      // no broadcast hint: near the threshold the map can reach hundreds of
+      // MB — let AQE pick broadcast vs shuffle from actual size
+      return allNodes.select(col("conv_id"))
+        .join(asg, Seq("conv_id"), "left")
+        .select(col("conv_id"), coalesce(col("root"), col("conv_id")).as("cluster_id"))
+    }
 
     def largeStar(e: DataFrame): DataFrame = {
       val bidir = e.select(col("u"), col("v"))
@@ -212,10 +261,15 @@ object DedupPipeline {
 
   /** Full pipeline: transcripts → cluster_assignments(conv_id, cluster_id). */
   def run(transcripts: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
+    // docs/sigs feed multiple downstream joins — persist so the signature
+    // computation runs once, not once per consumer (the checkpointed
+    // runner materializes to parquet instead)
     val docs = buildDocs(transcripts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = signatures(docs, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidatePairs(bands(sigs, cfg), cfg)
-    val verified = verifyPairs(cand, sigs, cfg)
+    val verified = verifyPairs(cand, sigs, docs, cfg)
     connectedComponents(verified, sigs.select(col("conv_id")))
   }
 }

@@ -1,0 +1,18 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    for (q <- args.drop(1)) {
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(q)(spark, dir).count()
+      println(f"$q: ${(System.nanoTime()-t0)/1e9}%.1f s, $n rows")
+    }
+    spark.stop()
+  }
+}

@@ -85,14 +85,36 @@ class DedupPipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("connected components handles chains and singletons") {
+  test("connected components handles chains and singletons (both paths)") {
     import spark.implicits._
     // path graph a-b-c-d-e plus isolated f
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")).toDF("a", "b")
     val nodes = Seq("a", "b", "c", "d", "e", "f").toDF("conv_id")
-    val got = DedupPipeline.connectedComponents(edges, nodes).collect()
+    val expect = Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a", "e" -> "a", "f" -> "f")
+    val driver = DedupPipeline.connectedComponents(edges, nodes).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a", "e" -> "a", "f" -> "f"))
+    assert(driver === expect)
+    // force the distributed star-contraction path
+    val dist = DedupPipeline.connectedComponents(edges, nodes, driverMaxEdges = 0).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dist === expect)
+  }
+
+  test("distributed star-contraction matches driver union-find on a random graph") {
+    import spark.implicits._
+    val rnd = new java.util.Random(11)
+    val n = 300
+    val edges = (1 to 400).map { _ =>
+      val a = f"n${rnd.nextInt(n)}%03d"; val b = f"n${rnd.nextInt(n)}%03d"
+      if (a < b) (a, b) else (b, a)
+    }.filter(p => p._1 != p._2).distinct
+    val nodes = (0 until n).map(i => f"n$i%03d").toDF("conv_id")
+    val edf = edges.toDF("a", "b")
+    val d1 = DedupPipeline.connectedComponents(edf, nodes).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val d2 = DedupPipeline.connectedComponents(edf, nodes, driverMaxEdges = 0).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d1 === d2)
   }
 
   test("candidate pairs stay linear in bucket size (skew guard)") {
