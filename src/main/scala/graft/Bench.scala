@@ -65,6 +65,7 @@ object Bench {
       val s = session(cores)
       try {
         val df = s.read.parquet(corpusDir)
+        df.count() // warm the OS page cache: both core counts read warm IO
         // warmup: small slice to JIT-compile the hot paths before timing
         DedupPipeline.run(df.where(org.apache.spark.sql.functions.col("conv_id") <= "conv-000200"), cfg).count()
         timed { DedupPipeline.run(df, cfg).count() }

@@ -116,13 +116,35 @@ object SparkEntry {
         .orderBy(col("a"))
     }),
 
+    // winnowing-fingerprint dedup: the fingerprint set doubles as the LSH
+    // band key (docs sharing any fingerprint become candidates), then the
+    // exact Jaccard gate verifies — a third candidate-generation modality
+    // next to MinHash banding and SimHash banding
+    "q09_docs_winnow_neardup" -> ((s, dir) => {
+      val cfg = DedupConfig()
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("string").as("conv_id"), col("text").as("doc"),
+          length(col("text")).cast("long").as("doc_len"))
+      val fp = docs.select(col("conv_id"),
+        posexplode(graft.functions.winnow_fingerprints(col("doc"), 8, 16))
+          .as(Seq("band_idx", "band_key")))
+      val sigs = DedupPipeline.signatures(docs, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = DedupPipeline.candidatePairs(fp, cfg)
+      DedupPipeline.verifyPairs(cand, sigs, docs, cfg)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // ---- dedup pipeline on the documents table (rows-only checks) --------
     "q10_docs_lsh_neardup_pairs" -> ((s, dir) => {
       val cfg = DedupConfig()
       val docs = t(s, dir, "documents")
         .select(col("doc_id").cast("string").as("conv_id"), col("text").as("doc"),
           length(col("text")).cast("long").as("doc_len"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sigs = DedupPipeline.signatures(docs, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = DedupPipeline.candidatePairs(DedupPipeline.bands(sigs, cfg), cfg)
       DedupPipeline.verifyPairs(cand, sigs, docs, cfg)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"),
@@ -135,10 +157,12 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .select(col("doc_id").cast("string").as("conv_id"), col("text").as("doc"),
           length(col("text")).cast("long").as("doc_len"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sigs = DedupPipeline.signatures(docs, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = DedupPipeline.candidatePairs(DedupPipeline.bands(sigs, cfg), cfg)
       val verified = DedupPipeline.verifyPairs(cand, sigs, docs, cfg)
-      DedupPipeline.connectedComponents(verified, sigs.select(col("conv_id")))
+      DedupPipeline.connectedComponents(verified, docs.select(col("conv_id")))
         .orderBy(col("conv_id"))
     }),
 

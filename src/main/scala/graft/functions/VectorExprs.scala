@@ -146,6 +146,70 @@ object WordNgrams {
   }
 }
 
+/** winnow_fingerprints(text, k, w): document fingerprinting by winnowing
+  * (Schleimer-Wilkerson-Aiken, SIGMOD'03): the minimum shingle hash of each
+  * sliding window of w consecutive k-byte shingles, rightmost-min
+  * tie-break, deduplicated + sorted. The standard rolling-hash fingerprint
+  * set for plagiarism/near-dup detection; guarantees any match of length
+  * ≥ w+k-1 shares a fingerprint. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+
+  override def nullSafeEval(v: Any): Any =
+    WinnowFingerprints.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowFingerprints.compute($c, $k, $w, ${seed}L)")
+
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(child = c)
+}
+
+object WinnowFingerprints {
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int,
+              seed: Long): GenericArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes
+    if (len < k) return new GenericArrayData(Array.emptyLongArray)
+    val n = len - k + 1
+    // ordered (positional) shingle hashes — winnowing needs the sequence
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = graft.core.Murmur3x128.hash64(base, off + i, k, seed)
+      i += 1
+    }
+    if (n <= w) {
+      var m = hs(0); var j = 1
+      while (j < n) { if (hs(j) <= m) m = hs(j); j += 1 }
+      return new GenericArrayData(Array(m))
+    }
+    val picks = new Array[Long](n - w + 1)
+    var np = 0
+    var lastPos = -1
+    var p = 0
+    while (p <= n - w) {
+      // rightmost min of hs[p, p+w)
+      var minPos = p
+      var j = p + 1
+      while (j < p + w) { if (hs(j) <= hs(minPos)) minPos = j; j += 1 }
+      if (minPos != lastPos) {
+        picks(np) = hs(minPos); np += 1
+        lastPos = minPos
+      }
+      p += 1
+    }
+    new GenericArrayData(graft.core.Shingles.sortedDistinct(
+      java.util.Arrays.copyOf(picks, np)))
+  }
+}
+
 object SrpKeys {
   def compute(emb: ArrayData, nPlanes: Int, nTables: Int, seed: Long,
               isFloat: Boolean): GenericArrayData = {

@@ -27,6 +27,11 @@ package object functions {
   /** Cosine similarity of two array<float|double> columns (native kernel). */
   def cosine_sim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
 
+  /** Winnowing fingerprint set (rolling-hash document fingerprinting). */
+  def winnow_fingerprints(text: Column, k: Int = 8, w: Int = 16,
+                          seed: Long = 9001L): Column =
+    c(WinnowFingerprints(e(text), k, w, seed))
+
   /** Whitespace-tokenized word n-grams (native, one pass). */
   def word_ngrams(text: Column, n: Int): Column = c(WordNgrams(e(text), n))
 

@@ -93,23 +93,46 @@ object DedupPipeline {
 
   /** P6: bands → cand_pairs(a, b) with a < b.
     * Chain + star per band bucket via window functions (see scale notes).
-    * Bucket membership is sorted by conv_id so output is deterministic. */
+    * Bucket membership is sorted by conv_id so output is deterministic.
+    *
+    * Salted band keys (P5/P9): with cfg.bandSalt = S > 1 each bucket is
+    * split into S deterministic sub-buckets — the per-window sort for a hot
+    * boilerplate bucket is bounded at bucket/S — and connectivity across
+    * sub-buckets is restored by chaining the S sub-bucket minima in a
+    * second, tiny window pass (≤ S rows per band key). */
   def candidatePairs(bands: DataFrame, cfg: DedupConfig): DataFrame = {
-    val w = Window.partitionBy(col("band_key")).orderBy(col("conv_id"))
-    val wAll = Window.partitionBy(col("band_key"))
-      .orderBy(col("conv_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withNeighbors = bands
-      .select(col("band_key"), col("conv_id"))
-      .withColumn("prev", lag(col("conv_id"), 1).over(w))
-      .withColumn("bmin", first(col("conv_id")).over(wAll))
-    val chain = withNeighbors
-      .where(col("prev").isNotNull)
-      .select(col("prev").as("a"), col("conv_id").as("b"))
-    val star = withNeighbors
-      .where(col("bmin") =!= col("conv_id") && col("bmin") =!= col("prev"))
-      .select(col("bmin").as("a"), col("conv_id").as("b"))
-    chain.unionByName(star)
+    val salted = if (cfg.bandSalt > 1) {
+      bands.withColumn("salt", pmod(xxhash64(col("conv_id")), lit(cfg.bandSalt)))
+    } else bands.withColumn("salt", lit(0L))
+
+    def chainStar(df: DataFrame, parts: Seq[String]): DataFrame = {
+      val pcols = parts.map(col)
+      val w = Window.partitionBy(pcols: _*).orderBy(col("conv_id"))
+      val wAll = Window.partitionBy(pcols: _*)
+        .orderBy(col("conv_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withNeighbors = df
+        .withColumn("prev", lag(col("conv_id"), 1).over(w))
+        .withColumn("bmin", first(col("conv_id")).over(wAll))
+      val chain = withNeighbors
+        .where(col("prev").isNotNull)
+        .select(col("prev").as("a"), col("conv_id").as("b"))
+      val star = withNeighbors
+        .where(col("bmin") =!= col("conv_id") && col("bmin") =!= col("prev"))
+        .select(col("bmin").as("a"), col("conv_id").as("b"))
+      chain.unionByName(star)
+    }
+
+    val within = chainStar(salted.select(col("band_key"), col("salt"), col("conv_id")),
+      Seq("band_key", "salt"))
+    val across = if (cfg.bandSalt > 1) {
+      // sub-bucket minima, then link them per band key (tiny: ≤ S rows/key)
+      val minima = salted.groupBy(col("band_key"), col("salt"))
+        .agg(min(col("conv_id")).as("conv_id"))
+      chainStar(minima.select(col("band_key"), col("conv_id")), Seq("band_key"))
+    } else within.limit(0)
+
+    within.unionByName(across)
       .where(col("a") < col("b")) // defensive; ordering already guarantees it
       .distinct()
   }
@@ -193,13 +216,19 @@ object DedupPipeline {
                           driverMaxEdges: Long = 2000000L): DataFrame = {
     val spark = edges0.sparkSession
 
-    val edgeCount = edges0.count()
+    // materialize the edge set ONCE: the size probe and whichever CC path
+    // follows both consume it (without this, the count action would
+    // recompute the entire upstream verify subtree)
+    val edges1 = edges0.select(col("a").as("u"), col("b").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = edges1.count()
     if (edgeCount <= driverMaxEdges) {
       import spark.implicits._
       val uf = new UnionFind[String]()
-      edges0.select(col("a"), col("b")).collect().foreach { r =>
+      edges1.collect().foreach { r =>
         uf.union(r.getString(0), r.getString(1))
       }
+      edges1.unpersist(false)
       val asg = uf.assignments().toSeq.sorted.toDF("conv_id", "root")
       // no broadcast hint: near the threshold the map can reach hundreds of
       // MB — let AQE pick broadcast vs shuffle from actual size
@@ -231,10 +260,11 @@ object DedupPipeline {
         .distinct()
     }
 
-    var edges = edges0.select(col("a").as("u"), col("b").as("v"))
+    var edges = edges1
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    edges1.unpersist(false)
 
     var converged = false
     var iter = 0
