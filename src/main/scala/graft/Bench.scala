@@ -16,8 +16,12 @@ object Bench {
 
   /** Shuffle partitioning is FIXED across core counts: the scaling
     * protocol varies only the executor parallelism, exactly like adding
-    * executors to a cluster without re-planning the job. */
-  private val ShufflePartitions = "64"
+    * executors to a cluster without re-planning the job. The JVM heap is
+    * shared (local mode, -Xmx via build.sbt / SPARK_DRIVER_MEM): a real
+    * 4N-executor cluster would also have 4x memory, which this single-JVM
+    * stand-in cannot vary per run (noted in BENCH/BASELINE.md). */
+  private val ShufflePartitions =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "128")
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -27,7 +31,6 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -72,8 +75,12 @@ object Bench {
       } finally s.stop()
     }
 
-    val secLow = dedupRun(lowCores)
-    val secHigh = dedupRun(cpus)
+    // best-of-3 per configuration: a single local[N] measurement is exposed
+    // to GC pauses and host interference; min is the standard noise filter
+    def bestOf3(cores: Int): Double =
+      (1 to 3).map(_ => dedupRun(cores)).min
+    val secLow = bestOf3(lowCores)
+    val secHigh = bestOf3(cpus)
     val tpLow = nTurns / secLow
     val tpHigh = nTurns / secHigh
     val eff = secLow / (4.0 * secHigh)

@@ -131,7 +131,7 @@ object SparkEntry {
       val sigs = DedupPipeline.signatures(docs, cfg)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = DedupPipeline.candidatePairs(fp, cfg)
-      DedupPipeline.verifyPairs(cand, sigs, docs, cfg)
+      DedupPipeline.verifyPairs(cand, docs, cfg)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("a"), col("b"))
     }),
@@ -146,7 +146,7 @@ object SparkEntry {
       val sigs = DedupPipeline.signatures(docs, cfg)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = DedupPipeline.candidatePairs(DedupPipeline.bands(sigs, cfg), cfg)
-      DedupPipeline.verifyPairs(cand, sigs, docs, cfg)
+      DedupPipeline.verifyPairs(cand, docs, cfg)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"),
           col("lcs_len"), col("simhash_dist"))
         .orderBy(col("a"), col("b"))
@@ -161,7 +161,7 @@ object SparkEntry {
       val sigs = DedupPipeline.signatures(docs, cfg)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = DedupPipeline.candidatePairs(DedupPipeline.bands(sigs, cfg), cfg)
-      val verified = DedupPipeline.verifyPairs(cand, sigs, docs, cfg)
+      val verified = DedupPipeline.verifyPairs(cand, docs, cfg)
       DedupPipeline.connectedComponents(verified, docs.select(col("conv_id")))
         .orderBy(col("conv_id"))
     }),

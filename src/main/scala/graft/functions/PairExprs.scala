@@ -53,6 +53,48 @@ object JaccardSortedExpr {
   }
 }
 
+/** pair_verify(doc_a, doc_b, k, seed) → struct(jaccard double,
+  * simhash_dist int): shingles BOTH texts once, exact Jaccard via merge
+  * intersect, SimHash fingerprints from the same shingle sets.
+  *
+  * Rationale (scale): a doc's k-byte shingle set is ~8× the size of the
+  * doc itself; shuffling precomputed shingle arrays to the pair made the
+  * verification shuffle the heaviest in the job. Recomputing shingles
+  * pair-locally costs ~µs of CPU per pair and lets the join carry only the
+  * raw text. */
+case class PairVerify(left: Expression, right: Expression, shingleK: Int, seed: Long)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("jaccard", DoubleType, nullable = false),
+    StructField("simhash_dist", IntegerType, nullable = false)))
+
+  override def prettyName: String = "pair_verify"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PairVerify.compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], shingleK, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.PairVerify.compute($a, $b, $shingleK, ${seed}L)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PairVerify =
+    copy(left = l, right = r)
+}
+
+object PairVerify {
+  def compute(a: UTF8String, b: UTF8String, k: Int, seed: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    val sa = graft.core.Shingles.shingles(a.getBaseObject, a.getBaseOffset, a.numBytes, k, seed)
+    val sb = graft.core.Shingles.shingles(b.getBaseObject, b.getBaseOffset, b.numBytes, k, seed)
+    val j = graft.core.Shingles.jaccardSorted(sa, sb)
+    val dist = graft.core.SimHash64.hammingDist(
+      graft.core.SimHash64.fingerprint(sa), graft.core.SimHash64.fingerprint(sb))
+    org.apache.spark.sql.catalyst.InternalRow(j, dist)
+  }
+}
+
 /** Longest-common-substring length via suffix automaton (linear time). */
 case class LcsLengthExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

@@ -24,6 +24,10 @@ package object functions {
   def lcs_length(a: Column, b: Column): Column =
     c(LcsLengthExpr(e(a), e(b)))
 
+  /** Fused pair verification: struct(jaccard, simhash_dist) from raw texts. */
+  def pair_verify(docA: Column, docB: Column, shingleK: Int, seed: Long): Column =
+    c(PairVerify(e(docA), e(docB), shingleK, seed))
+
   /** Cosine similarity of two array<float|double> columns (native kernel). */
   def cosine_sim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
 
@@ -79,17 +83,50 @@ package object functions {
   def freq_top_items(sketch: Column, noFalsePositives: Boolean = false): Column =
     c(FreqTopItems(e(sketch), e(org.apache.spark.sql.functions.lit(noFalsePositives))))
 
-  /** Register SQL names (jaccard_sorted, lcs_length, text_signature). */
+  /** Register the whole function surface for SQL use. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    def intArg(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
+    def longArg(e: Expression): Long = e.eval().asInstanceOf[Number].longValue()
+
     reg.createOrReplaceTempFunction("jaccard_sorted",
       exprs => JaccardSortedExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("lcs_length",
       exprs => LcsLengthExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("text_signature",
-      exprs => TextSignatureExpr(exprs(0),
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int],
-        exprs(3).eval().asInstanceOf[Number].longValue()), "built-in")
+      exprs => TextSignatureExpr(exprs(0), intArg(exprs(1)), intArg(exprs(2)),
+        longArg(exprs(3))), "built-in")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("srp_keys",
+      exprs => SrpKeys(exprs(0), intArg(exprs(1)), intArg(exprs(2)),
+        longArg(exprs(3))), "built-in")
+    reg.createOrReplaceTempFunction("word_ngrams",
+      exprs => WordNgrams(exprs(0), intArg(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("winnow_fingerprints",
+      exprs => WinnowFingerprints(exprs(0), intArg(exprs(1)), intArg(exprs(2)),
+        longArg(exprs(3))), "built-in")
+    reg.createOrReplaceTempFunction("hll_agg",
+      exprs => HllSketchAgg(exprs(0), intArg(exprs(1))).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("hll_merge_agg",
+      exprs => HllUnionAgg(exprs(0), intArg(exprs(1))).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("hll_estimate",
+      exprs => HllEstimate(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("hll_bounds",
+      exprs => HllBounds(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("kll_agg",
+      exprs => KllSketchAgg(exprs(0), intArg(exprs(1))).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("kll_quantiles",
+      exprs => KllQuantiles(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("kll_rank",
+      exprs => KllRank(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("kll_cdf",
+      exprs => KllCdf(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("kll_partition_boundaries",
+      exprs => KllPartitionBoundaries(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("freq_agg",
+      exprs => FreqSketchAgg(exprs(0), intArg(exprs(1))).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("freq_top_items",
+      exprs => FreqTopItems(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -55,7 +55,7 @@ final class CheckpointedDedup(
     }
     val verified = stage(spark, "verified_pairs", keyCols = Seq("a", "b"),
       rowsInOf = () => cand.count()) { () =>
-      DedupPipeline.verifyPairs(cand, sigs, docs, cfg)
+      DedupPipeline.verifyPairs(cand, docs, cfg)
     }
     val assignments = stage(spark, "cluster_assignments", keyCols = Seq("conv_id", "cluster_id"),
       rowsInOf = () => verified.count()) { () =>

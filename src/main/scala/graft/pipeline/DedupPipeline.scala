@@ -24,9 +24,11 @@ import graft.core._
   *    boilerplate buckets (the skew driver) stay LINEAR. This is the
   *    structural skew guard; AQE skew-join splitting covers the residual
   *    joins (P9).
-  *  - P7 verification: exact Jaccard on sorted shingle arrays (merge
-  *    intersect) gated FIRST; suffix-automaton LCS + SimHash distance only
-  *    on survivors. Two hash joins keyed by conv_id.
+  *  - P7 verification: pairs carry raw text (not 8x-bigger shingle
+  *    arrays); a fused expression computes exact Jaccard + SimHash
+  *    distance pair-locally, Jaccard gates FIRST, suffix-automaton LCS
+  *    runs only on survivors. Pair streams explicitly spread so AQE's
+  *    size-based coalescing can't serialize the CPU-heavy phase.
   *  - P8 clustering: alternating large-star/small-star contraction
   *    (O(log n) rounds), window-min based — no collect_list, no RDDs;
   *    lineage cut per round with localCheckpoint.
@@ -123,18 +125,21 @@ object DedupPipeline {
       chain.unionByName(star)
     }
 
-    val within = chainStar(salted.select(col("band_key"), col("salt"), col("conv_id")),
-      Seq("band_key", "salt"))
-    val across = if (cfg.bandSalt > 1) {
+    if (cfg.bandSalt > 1) {
+      val within = chainStar(salted.select(col("band_key"), col("salt"), col("conv_id")),
+        Seq("band_key", "salt"))
       // sub-bucket minima, then link them per band key (tiny: ≤ S rows/key)
       val minima = salted.groupBy(col("band_key"), col("salt"))
         .agg(min(col("conv_id")).as("conv_id"))
-      chainStar(minima.select(col("band_key"), col("conv_id")), Seq("band_key"))
-    } else within.limit(0)
-
-    within.unionByName(across)
-      .where(col("a") < col("b")) // defensive; ordering already guarantees it
-      .distinct()
+      val across = chainStar(minima.select(col("band_key"), col("conv_id")), Seq("band_key"))
+      within.unionByName(across)
+        .where(col("a") < col("b"))
+        .distinct()
+    } else {
+      chainStar(bands.select(col("band_key"), col("conv_id")), Seq("band_key"))
+        .where(col("a") < col("b")) // defensive; ordering already guarantees it
+        .distinct()
+    }
   }
 
   /** P7: verify candidate pairs with exact Jaccard (gate, matches the
@@ -142,37 +147,38 @@ object DedupPipeline {
     * Returns verified_pairs(a, b, jaccard, lcs_len, simhash_dist).
     *
     * Shuffle discipline at scale:
-    *  1. signatures are SEMI-JOINED down to ids that actually appear in a
-    *     candidate pair before the wide join (candidates are a small
-    *     fraction of the corpus - don't shuffle the rest);
-    *  2. the Jaccard gate runs on shingle arrays only;
-    *  3. the raw doc text joins in ONLY for gate survivors, so the O(n)
-    *     suffix-automaton LCS and the heavy text payload touch a tiny set.
+    *  1. candidate pairs (tiny rows) are explicitly SPREAD across the full
+    *     shuffle-partition count — AQE's size-based coalescing would fold
+    *     the CPU-heavy verification onto 1-2 tasks otherwise;
+    *  2. docs are semi-joined down to ids that appear in a pair before
+    *     joining (candidates are a small fraction of the corpus);
+    *  3. the join carries RAW TEXT, not precomputed shingle arrays (the
+    *     shingle set is ~8x the text size); pair_verify recomputes both
+    *     shingle sets pair-locally in one fused expression (Jaccard +
+    *     SimHash distance), and the O(n) suffix-automaton LCS runs only on
+    *     Jaccard-gate survivors.
     */
-  def verifyPairs(candPairs: DataFrame, signatures: DataFrame, docs: DataFrame,
+  def verifyPairs(candPairs: DataFrame, docs: DataFrame,
                   cfg: DedupConfig): DataFrame = {
-    val candIds = candPairs.select(col("a").as("conv_id"))
-      .unionByName(candPairs.select(col("b").as("conv_id")))
+    val parts = candPairs.sparkSession.sessionState.conf.numShufflePartitions
+    val spread = candPairs.repartition(parts, col("a"))
+
+    val candIds = spread.select(col("a").as("conv_id"))
+      .unionByName(spread.select(col("b").as("conv_id")))
       .distinct()
-    val sig = signatures.select(col("conv_id"), col("shingles"), col("simhash"))
+    val d = docs.select(col("conv_id"), col("doc"))
       .join(candIds, Seq("conv_id"), "left_semi")
 
-    val gated = candPairs
-      .join(sig.select(col("conv_id").as("a"), col("shingles").as("sh_a"),
-        col("simhash").as("sim_a")), Seq("a"))
-      .join(sig.select(col("conv_id").as("b"), col("shingles").as("sh_b"),
-        col("simhash").as("sim_b")), Seq("b"))
-      .withColumn("jaccard", graft.functions.jaccard_sorted(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= lit(cfg.tauJaccard)) // the oracle-parity gate
-      .withColumn("simhash_dist", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-      .select(col("a"), col("b"), col("jaccard"), col("simhash_dist"))
-
-    val d = docs.select(col("conv_id"), col("doc"))
-    gated
+    spread
       .join(d.select(col("conv_id").as("a"), col("doc").as("doc_a")), Seq("a"))
       .join(d.select(col("conv_id").as("b"), col("doc").as("doc_b")), Seq("b"))
+      .withColumn("pv",
+        graft.functions.pair_verify(col("doc_a"), col("doc_b"), cfg.shingleK, cfg.seed))
+      .withColumn("jaccard", col("pv.jaccard"))
+      .where(col("jaccard") >= lit(cfg.tauJaccard)) // the oracle-parity gate
       .withColumn("lcs_len", graft.functions.lcs_length(col("doc_a"), col("doc_b")))
-      .select(col("a"), col("b"), col("jaccard"), col("lcs_len"), col("simhash_dist"))
+      .select(col("a"), col("b"), col("jaccard"), col("lcs_len"),
+        col("pv.simhash_dist").as("simhash_dist"))
   }
 
   /** SimHash near-dup pairs via pigeonhole banding: split the 64-bit
@@ -296,10 +302,13 @@ object DedupPipeline {
     // runner materializes to parquet instead)
     val docs = buildDocs(transcripts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // banding needs only the minhash; dropping the shingle arrays (~16x
+    // the minhash size) from the persisted footprint keeps the cache hot
     val sigs = signatures(docs, cfg)
+      .select(col("conv_id"), col("minhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidatePairs(bands(sigs, cfg), cfg)
-    val verified = verifyPairs(cand, sigs, docs, cfg)
-    connectedComponents(verified, sigs.select(col("conv_id")))
+    val verified = verifyPairs(cand, docs, cfg)
+    connectedComponents(verified, docs.select(col("conv_id")))
   }
 }

@@ -1,0 +1,77 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.core.DedupConfig
+import graft.pipeline.DedupPipeline
+
+/** Per-stage wall-clock breakdown of the dedup pipeline at one core count.
+  *   sbt "runMain graft.tools.BenchStages <cores> <corpusDir>"
+  */
+object BenchStages {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val corpusDir = args(1)
+    val parts = if (args.length > 2) args(2) else "64"
+    val aqe = if (args.length > 3) args(3) else "true"
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // per-stage task skew report
+    if (sys.env.contains("SPARK_GRAFT_STAGE_METRICS")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val durations = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          durations.computeIfAbsent(te.stageId, _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+            .add(te.taskInfo.duration)
+        }
+        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val q = durations.remove(sc.stageInfo.stageId)
+          if (q != null) {
+            val ds = q.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+            if (ds.nonEmpty && ds.sum > 500) {
+              val med = ds(ds.length / 2)
+              println(f"[tasks] stage=${sc.stageInfo.stageId}%4d n=${ds.length}%4d " +
+                f"sum=${ds.sum / 1000.0}%7.1fs max=${ds.last / 1000.0}%6.2fs med=${med / 1000.0}%6.2fs " +
+                sc.stageInfo.name.take(60))
+            }
+          }
+        }
+      })
+    }
+    val cfg = DedupConfig()
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[stage] $label%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
+    }
+
+    val df = spark.read.parquet(corpusDir)
+    df.count() // warm IO
+    // JIT warmup
+    DedupPipeline.run(df.where(col("conv_id") <= "conv-000200"), cfg).count()
+
+    val t0 = System.nanoTime()
+    val docs = DedupPipeline.buildDocs(df).persist(StorageLevel.MEMORY_AND_DISK)
+    time("docs")(docs.count())
+    val sigs = DedupPipeline.signatures(docs, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    time("signatures")(sigs.count())
+    val bands = DedupPipeline.bands(sigs, cfg)
+    val cand = DedupPipeline.candidatePairs(bands, cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    time("bands+candidates")(cand.count())
+    val verified = DedupPipeline.verifyPairs(cand, docs, cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    time("verify")(verified.count())
+    time("cc+assign")(DedupPipeline.connectedComponents(
+      verified, docs.select(col("conv_id"))).count())
+    println(f"[stage] TOTAL              ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    spark.stop()
+  }
+}

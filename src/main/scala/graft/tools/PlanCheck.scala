@@ -40,7 +40,7 @@ object PlanCheck {
 
     println("=== verify plan ===")
     val cand = DedupPipeline.candidatePairs(DedupPipeline.bands(sigs, cfg), cfg)
-    DedupPipeline.verifyPairs(cand, sigs, docs, cfg).explain("formatted")
+    DedupPipeline.verifyPairs(cand, docs, cfg).explain("formatted")
 
     def time[A](label: String)(f: => A): Unit = {
       val t0 = System.nanoTime()

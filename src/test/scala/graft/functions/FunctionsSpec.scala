@@ -64,6 +64,30 @@ class FunctionsSpec extends AnyFunSuite {
       Shingles.shinglesOf("some text here", 8, 9001L)))
   }
 
+  test("full SQL surface: sketch aggregates and vector functions from SQL") {
+    registerAll(spark)
+    spark.range(0, 10000, 1, 4)
+      .selectExpr("id % 10 as g", "cast(id % 1000 as double) as v", "cast(id as string) as s")
+      .createOrReplaceTempView("sqltest")
+    val r = spark.sql(
+      """SELECT g,
+               hll_estimate(hll_agg(s, 12)) AS nd,
+               kll_quantiles(kll_agg(v, 200), array(0.5D))[0] AS median,
+               freq_top_items(freq_agg(g, 8), false)[0].item AS top
+        FROM sqltest GROUP BY g ORDER BY g""").collect()
+    assert(r.length === 10)
+    assert(math.abs(r.head.getDouble(1) - 1000.0) / 1000.0 < 0.05)
+    assert(math.abs(r.head.getDouble(2) - 500.0) < 60)
+    val v = spark.sql(
+      """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) c1,
+               cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) c2,
+               size(word_ngrams('a b c d', 2)) n,
+               size(winnow_fingerprints('some longer text for fingerprints', 8, 4, 9001L)) w,
+               size(srp_keys(array(1.0D, 2.0D), 4, 2, 9001L)) k""").head()
+    assert(v.getDouble(0) === 1.0 && v.getDouble(1) === 0.0)
+    assert(v.getInt(2) === 3 && v.getInt(3) > 0 && v.getInt(4) === 2)
+  }
+
   test("null inputs propagate") {
     val r = spark.sql("SELECT jaccard_sorted(NULL, array(1L)), lcs_length(NULL, 'x')").head()
     assert(r.isNullAt(0) && r.isNullAt(1))
