@@ -69,6 +69,22 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(recall >= 0.99, s"recall $recall below bar (truth=${truth.pairs.size})")
   }
 
+  test("t2-scale: recall >= 0.99 vs exact oracle at 2000 conversations") {
+    val turns2 = Transcripts.generate(2000)
+    val tdf2 = Transcripts.asDataFrame(spark, turns2, 16)
+    val truth = graft.core.OracleDedup.run(Transcripts.docsLocal(turns2), cfg)
+    assert(truth.pairs.size > 100, s"expected a rich truth set, got ${truth.pairs.size}")
+    val assignments = DedupPipeline.run(tdf2, cfg).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val recall = graft.core.OracleDedup.recall(truth.pairs, assignments)
+    info(s"t2 truth pairs=${truth.pairs.size}, recall=$recall")
+    assert(recall >= 0.99, s"t2 recall $recall below bar")
+  }
+
+  test("entry(): flagship query returns rows") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("clusters agree with oracle clusters exactly on this corpus (precision side)") {
     val docsLocal = Transcripts.docsLocal(turns)
     val truth = OracleDedup.run(docsLocal, cfg)
