@@ -64,23 +64,54 @@ object Bench {
       } finally s.stop()
     }
 
-    def dedupRun(cores: Int): Double = {
-      val s = session(cores)
-      try {
-        val df = s.read.parquet(corpusDir)
-        df.count() // warm the OS page cache: both core counts read warm IO
-        // warmup: small slice to JIT-compile the hot paths before timing
-        DedupPipeline.run(df.where(org.apache.spark.sql.functions.col("conv_id") <= "conv-000200"), cfg).count()
-        timed { DedupPipeline.run(df, cfg).count() }
-      } finally s.stop()
+    // Each configuration runs in its OWN JVM, sized like a real executor of
+    // that width: -XX:ActiveProcessorCount=<cores> (GC threads, ergonomics)
+    // and a cores-proportional heap — "4N executors" means 4x memory and 4x
+    // GC capacity, which a single shared JVM cannot express. Best-of-3
+    // inside the child filters GC/host noise.
+    def dedupJvm(cores: Int): Double = {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(pkg => Seq("--add-opens", s"$pkg=ALL-UNNAMED"))
+      val memGb = math.max(4, cores)
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+        s"-Xmx${memGb}g",
+        s"-XX:ActiveProcessorCount=$cores",
+        "-Dspark.ui.enabled=false",
+        "-cp", cp,
+        "graft.tools.DedupOnce", cores.toString, corpusDir, "3", ShufflePartitions)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val code = proc.waitFor()
+      out.linesIterator.find(_.startsWith("DEDUP_ONCE_SECONDS=")) match {
+        case Some(line) => line.stripPrefix("DEDUP_ONCE_SECONDS=").toDouble
+        case None =>
+          System.err.println(s"[bench] child JVM (cores=$cores) failed, code=$code; " +
+            s"tail:\n${out.linesIterator.toSeq.takeRight(15).mkString("\n")}")
+          // in-process fallback
+          val s = session(cores)
+          try {
+            val df = s.read.parquet(corpusDir)
+            df.count()
+            DedupPipeline.run(df.where(org.apache.spark.sql.functions.col("conv_id") <= "conv-000200"), cfg).count()
+            (1 to 3).map(_ => timed { DedupPipeline.run(df, cfg).count() }).min
+          } finally s.stop()
+      }
     }
 
-    // best-of-3 per configuration: a single local[N] measurement is exposed
-    // to GC pauses and host interference; min is the standard noise filter
-    def bestOf3(cores: Int): Double =
-      (1 to 3).map(_ => dedupRun(cores)).min
-    val secLow = bestOf3(lowCores)
-    val secHigh = bestOf3(cpus)
+    val secLow = dedupJvm(lowCores)
+    val secHigh = dedupJvm(cpus)
     val tpLow = nTurns / secLow
     val tpHigh = nTurns / secHigh
     val eff = secLow / (4.0 * secHigh)

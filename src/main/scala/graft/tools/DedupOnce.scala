@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import graft.core.DedupConfig
+import graft.pipeline.DedupPipeline
+
+/** One dedup measurement in a dedicated JVM — the faithful "executor of
+  * size N" unit for the scaling protocol (spawned by graft.Bench with
+  * -XX:ActiveProcessorCount=<cores> and a cores-proportional heap, so GC
+  * threads and memory scale WITH the simulated cluster size, as they would
+  * across real executors).
+  *
+  *   args: <cores> <corpusDir> <repeats> <shufflePartitions>
+  *   prints: one line "DEDUP_ONCE_SECONDS=<best>"
+  */
+object DedupOnce {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val corpusDir = args(1)
+    val repeats = if (args.length > 2) args(2).toInt else 3
+    val parts = if (args.length > 3) args(3) else "128"
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-dedup-once-$cores")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val cfg = DedupConfig()
+    val df = spark.read.parquet(corpusDir)
+    df.count() // warm page cache
+    DedupPipeline.run(df.where(col("conv_id") <= "conv-000200"), cfg).count() // JIT
+    val best = (1 to repeats).map { _ =>
+      // drop cached stage outputs: each repeat must do the full pipeline
+      // (Spark's cache manager matches canonicalized plans across runs)
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      DedupPipeline.run(df, cfg).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    println(f"DEDUP_ONCE_SECONDS=$best%.3f")
+    spark.stop()
+  }
+}
