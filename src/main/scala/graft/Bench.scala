@@ -46,7 +46,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val lowCores = math.max(1, cpus / 4)
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "10000").toInt
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "100000").toInt
 
     // --- dedup scaling benchmark: identical parquet input, cpus/4 vs cpus
     val cfg = DedupConfig()

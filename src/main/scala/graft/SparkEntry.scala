@@ -199,6 +199,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q23_embeddings_ann_ivf" -> ((s, dir) => {
+      import graft.ops.Ivf
+      val emb = t(s, dir, "embeddings")
+      val model = Ivf.fit(emb, k = 16, iters = 5)
+      Ivf.topK(emb, emb.where(col("vec_id") < 10), model, 5, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q16_embeddings_neardup" -> ((s, dir) => {
       // the driver corpus has no planted embedding dups (max cosine ~0.51);
       // tau=0.3 exercises the operator non-trivially at every sf

@@ -19,47 +19,41 @@ import graft.core.MinHasher
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
-  private def isFloat = left.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  // each side keeps its own element type (float corpus vs double
+  // centroid literals is the common mix)
+  private def sideType(e: Expression): DataType = e.dataType match {
+    case ArrayType(FloatType, _) => ArrayType(FloatType)
+    case _ => ArrayType(DoubleType)
   }
+  private def aFloat = sideType(left) == ArrayType(FloatType)
+  private def bFloat = sideType(right) == ArrayType(FloatType)
 
-  override def inputTypes: Seq[DataType] = {
-    val t = if (isFloat) ArrayType(FloatType) else ArrayType(DoubleType)
-    Seq(t, t)
-  }
+  override def inputTypes: Seq[DataType] = Seq(sideType(left), sideType(right))
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloat)
+    CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aFloat, bFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.CosineSim.compute($a, $b, $isFloat)")
+      s"graft.functions.CosineSim.compute($a, $b, $aFloat, $bFloat)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
 }
 
 object CosineSim {
-  def compute(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
+  def compute(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    if (isFloat) {
-      while (i < n) {
-        val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
-        dot += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-    } else {
-      while (i < n) {
-        val x = a.getDouble(i); val y = b.getDouble(i)
-        dot += x * y; na += x * x; nb += y * y
-        i += 1
-      }
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
