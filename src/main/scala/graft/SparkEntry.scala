@@ -128,8 +128,6 @@ object SparkEntry {
       val fp = docs.select(col("conv_id"),
         posexplode(graft.functions.winnow_fingerprints(col("doc"), 8, 16))
           .as(Seq("band_idx", "band_key")))
-      val sigs = DedupPipeline.signatures(docs, cfg)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = DedupPipeline.candidatePairs(fp, cfg)
       DedupPipeline.verifyPairs(cand, docs, cfg)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))

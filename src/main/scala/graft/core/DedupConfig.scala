@@ -18,7 +18,13 @@ final case class DedupConfig(
     bands: Int = 32,
     rowsPerBand: Int = 4,
     tauJaccard: Double = 0.8,
+    /** LCS verification gate (north_star "suffix-array LCS checks"):
+      * pairs must share a common substring of ≥ min(tauLcs, min doc len)
+      * chars — applied in DedupPipeline.verifyPairs after the Jaccard
+      * gate; kills high-set-overlap/no-long-run adversarial pairs. */
     tauLcs: Int = 64,
+    /** SimHash agreement criterion, RECORDED as verifyPairs.simhash_ok
+      * (not gated — near-threshold Jaccard pairs legitimately exceed it). */
     simhashMaxDist: Int = 8,
     seed: Long = Murmur3x128.DefaultSeed,
     /** salt modulus for hot LSH bands (SURVEY §2b P5/P9); 1 = no salting */

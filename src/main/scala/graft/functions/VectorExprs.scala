@@ -46,7 +46,11 @@ case class CosineSim(left: Expression, right: Expression)
 
 object CosineSim {
   def compute(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"cosine_sim: vector dimensions differ (${a.numElements()} vs ${b.numElements()}) — " +
+          "mixed-dimension embedding corpora are a data error, not a 0-similarity pair")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {

@@ -62,12 +62,24 @@ object Ann {
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine >= tau,
     * found via LSH buckets (scale path for embedding-level dedup).
     * The cosine gate runs BEFORE dropDuplicates so the dedup shuffle only
-    * carries survivors. */
+    * carries survivors.
+    *
+    * Scale guard: the within-bucket join is all-pairs, so buckets larger
+    * than `maxBucketSize` (hot SRP cells — near-constant embedding regions)
+    * are excluded from pair emission, bounding the worst bucket at
+    * O(maxBucketSize²) instead of O((N/2^nPlanes)²). Size nPlanes with the
+    * corpus (2^nPlanes ≳ N/maxBucketSize keeps the cap from engaging on
+    * uniform data) and count exclusions with `oversizedSrpBuckets` — no
+    * silent caps. */
   def nearDupPairs(embeddings: DataFrame, tau: Double,
-                   nPlanes: Int = 10, nTables: Int = 6, seed: Long = 9001L): DataFrame = {
+                   nPlanes: Int = 10, nTables: Int = 6, seed: Long = 9001L,
+                   maxBucketSize: Int = 2000): DataFrame = {
     val b = embeddings.select(col("vec_id"), col("embedding"),
       explode(srp_keys(col("embedding"), nPlanes, nTables, seed)).as("bucket"))
-    b.as("l").join(b.as("r"),
+    val sized = b.withColumn("bucket_n",
+      count(lit(1)).over(Window.partitionBy(col("bucket"))))
+    val kept = sized.where(col("bucket_n") <= maxBucketSize)
+    kept.as("l").join(kept.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
         cosine(col("l.embedding"), col("r.embedding")).as("score"))
@@ -75,4 +87,14 @@ object Ann {
       .select(col("a"), col("b"), round(col("score"), 6).as("score"))
       .dropDuplicates("a", "b")
   }
+
+  /** SRP buckets over `maxBucketSize` that nearDupPairs excluded — surface
+    * these as a metric next to the pair output. */
+  def oversizedSrpBuckets(embeddings: DataFrame,
+                          nPlanes: Int = 10, nTables: Int = 6, seed: Long = 9001L,
+                          maxBucketSize: Int = 2000): DataFrame =
+    embeddings
+      .select(explode(srp_keys(col("embedding"), nPlanes, nTables, seed)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > maxBucketSize)
 }

@@ -23,7 +23,15 @@ object Ivf {
   }
 
   private def toVec(row: org.apache.spark.sql.Row): Array[Double] =
-    row.getSeq[Float](0).map(_.toDouble).toArray
+    // float or double element types both appear in embedding corpora
+    // (parquet float32 vs computed double columns) — handle both, like
+    // CosineSim does
+    row.getSeq[Any](0).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case other => throw new IllegalArgumentException(
+        s"embedding element must be float or double, got ${other.getClass.getName}")
+    }.toArray
 
   /** Deterministic Lloyd's k-means on a sample: init = first k vectors in
     * xxhash64(vec_id) order (seeded spread), fixed iteration count, cosine

@@ -97,6 +97,19 @@ object DedupPipeline {
     * Chain + star per band bucket via window functions (see scale notes).
     * Bucket membership is sorted by conv_id so output is deterministic.
     *
+    * Connectivity assumption (probabilistic, NOT structural): every bucket
+    * member gets a direct edge to the bucket minimum, so two true dups
+    * sharing a bucket stay connected through that bucket's min — unless
+    * the min is a false-positive band collision that then fails the
+    * Jaccard gate AND the chain intermediates between them fail it too.
+    * A missed link therefore needs a false positive sorted below both dups
+    * in EVERY one of the cfg.bands=32 independent bands that catch the
+    * pair; with per-band FP rates ≪ 1 the joint miss probability is
+    * negligible (measured: recall 1.0 at 200 and 2000 convs vs the exact
+    * oracle). The alternative — all-pairs per bucket — is the O(m²) skew
+    * hazard this design exists to avoid; simhashNearDupPairs shows the
+    * bounded all-pairs variant where a pair-level contract is required.
+    *
     * Salted band keys (P5/P9): with cfg.bandSalt = S > 1 each bucket is
     * split into S deterministic sub-buckets — the per-window sort for a hot
     * boilerplate bucket is bounded at bucket/S — and connectivity across
@@ -142,9 +155,27 @@ object DedupPipeline {
     }
   }
 
-  /** P7: verify candidate pairs with exact Jaccard (gate, matches the
-    * oracle's criterion) then LCS + SimHash distance on survivors.
-    * Returns verified_pairs(a, b, jaccard, lcs_len, simhash_dist).
+  /** P7: verify candidate pairs with exact Jaccard (the oracle-parity
+    * gate) then the suffix-automaton LCS check on survivors (north_star:
+    * "exact Jaccard plus suffix-array longest-common-substring checks").
+    * Returns verified_pairs(a, b, jaccard, lcs_len, simhash_dist,
+    * simhash_ok).
+    *
+    * Gate semantics:
+    *  - Jaccard ≥ cfg.tauJaccard gates FIRST (identical criterion to the
+    *    recall oracle — OracleDedup — so pipeline recall is measured
+    *    against exactly this bar).
+    *  - The LCS gate is length-adaptive: lcs_len ≥ min(cfg.tauLcs,
+    *    min(|doc_a|, |doc_b|) / 2). A genuine near-dup at J ≥ 0.8 keeps a
+    *    common run ≥ roughly L/(e+1) with e edits, and J ≥ 0.8 bounds e to
+    *    ~(L-k)/(4k·...) — in practice runs ≫ tauLcs for long docs, while
+    *    docs shorter than 2·tauLcs only need half their length (so a
+    *    near-edge edit on a short doc never drops a legit dup). A
+    *    block-shuffled adversarial pair (high set overlap, no long common
+    *    run) on long docs fails the 64-char bar.
+    *  - cfg.simhashMaxDist is RECORDED (simhash_ok column), not gated:
+    *    at J near tau the Hamming distance legitimately exceeds small
+    *    thresholds, so gating on it would cut recall below the oracle bar.
     *
     * Shuffle discipline at scale:
     *  1. candidate pairs (tiny rows) are explicitly SPREAD across the full
@@ -177,31 +208,57 @@ object DedupPipeline {
       .withColumn("jaccard", col("pv.jaccard"))
       .where(col("jaccard") >= lit(cfg.tauJaccard)) // the oracle-parity gate
       .withColumn("lcs_len", graft.functions.lcs_length(col("doc_a"), col("doc_b")))
+      .where(col("lcs_len") >= least( // north-star LCS check, length-adaptive
+        lit(cfg.tauLcs),
+        (least(length(col("doc_a")), length(col("doc_b"))) / 2).cast("int")))
       .select(col("a"), col("b"), col("jaccard"), col("lcs_len"),
-        col("pv.simhash_dist").as("simhash_dist"))
+        col("pv.simhash_dist").as("simhash_dist"),
+        (col("pv.simhash_dist") <= lit(cfg.simhashMaxDist)).as("simhash_ok"))
   }
 
   /** SimHash near-dup pairs via pigeonhole banding: split the 64-bit
-    * fingerprint into 4×16-bit bands; any pair within Hamming distance 3 is
-    * GUARANTEED to agree on at least one band (pigeonhole), so the bucket
-    * join finds it; pairs up to `maxDist` are found with high probability.
-    * Same linear chain+star bucket treatment as MinHash banding. */
+    * fingerprint into 4×16-bit bands; any pair within Hamming distance 3
+    * agrees on at least one band (pigeonhole), and this operator emits ALL
+    * pairs within each band bucket — so the returned PAIR SET is complete
+    * for dist ≤ 3 among docs whose buckets fit cfg.maxBucketSize. Pairs at
+    * distance 4..maxDist are found with high probability only. Buckets
+    * larger than cfg.maxBucketSize (boilerplate pile-ups) are excluded from
+    * pair emission — the standard LSH skew guard; count them with
+    * `oversizedBuckets` rather than silently assuming zero.
+    *
+    * Unlike the MinHash path this does NOT use chain+star thinning: the
+    * contract here is pair-level (dist ≤ 3 ⇒ pair emitted), and thinning
+    * inside a 4+-member bucket would drop non-adjacent non-min pairs. The
+    * all-pairs join stays cheap because 16-bit band keys spread docs across
+    * 65k buckets; the cap bounds the worst case. */
   def simhashNearDupPairs(signatures: DataFrame, maxDist: Int, cfg: DedupConfig): DataFrame = {
+    val bands = simhashBands(signatures)
+    val sized = bands.withColumn("bucket_n",
+      count(lit(1)).over(Window.partitionBy(col("band_key"))))
+    val kept = sized.where(col("bucket_n") <= cfg.maxBucketSize)
+    kept.as("l").join(kept.as("r"),
+        col("l.band_key") === col("r.band_key") && col("l.conv_id") < col("r.conv_id"))
+      .select(col("l.conv_id").as("a"), col("r.conv_id").as("b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("simhash_dist"))
+      .where(col("simhash_dist") <= maxDist)
+      .distinct()
+  }
+
+  private def simhashBands(signatures: DataFrame): DataFrame = {
     val bandKeys = array((0 until 4).map { b =>
       // fold band index into the key: (band, 16-bit slice)
       xxhash64(lit(b), shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)))
     }: _*)
-    val bands = signatures.select(col("conv_id"),
+    signatures.select(col("conv_id"), col("simhash"),
       posexplode(bandKeys).as(Seq("band_idx", "band_key")))
-    val cand = candidatePairs(bands, cfg)
-    val sim = signatures.select(col("conv_id"), col("simhash"))
-    cand
-      .join(sim.select(col("conv_id").as("a"), col("simhash").as("sim_a")), Seq("a"))
-      .join(sim.select(col("conv_id").as("b"), col("simhash").as("sim_b")), Seq("b"))
-      .withColumn("simhash_dist", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-      .where(col("simhash_dist") <= maxDist)
-      .select(col("a"), col("b"), col("simhash_dist"))
   }
+
+  /** Band buckets over cfg.maxBucketSize that simhashNearDupPairs excluded
+    * — surface these as a metric (no silent caps). */
+  def oversizedSimhashBuckets(signatures: DataFrame, cfg: DedupConfig): DataFrame =
+    simhashBands(signatures)
+      .groupBy(col("band_key")).agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > cfg.maxBucketSize)
 
   /** P8: connected components over verified pair edges.
     * Returns cluster_assignments(conv_id, cluster_id) for every node in

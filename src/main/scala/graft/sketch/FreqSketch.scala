@@ -173,33 +173,34 @@ object FreqSketch {
   }
 }
 
-/** Hoare-partition quickselect: k-th smallest, O(n) expected, in-place,
-  * deterministic pivot (midpoint) — used by the purge median (the
-  * reference's internal/quick_select.go:20-33 role). */
+/** Quickselect: k-th smallest, O(n) expected, in-place, deterministic
+  * pivot (midpoint) — used by the purge median (the reference's
+  * internal/quick_select.go:20-33 role). Uses 3-way (fat-pivot)
+  * partitioning: purge-time counter arrays are mostly-equal values
+  * (uniform streams put every counter at 1), where a strict-< Lomuto
+  * partition degenerates to O(n²) — at lgMaxMapSize 24 that is ~10^13
+  * comparisons inside one executor task. */
 object QuickSelect {
   def select(a: Array[Long], k: Int): Long = {
     var lo = 0
     var hi = a.length - 1
     while (lo < hi) {
-      val p = partition(a, lo, hi, lo + (hi - lo) / 2)
-      if (k == p) return a(k)
-      else if (k < p) hi = p - 1
-      else lo = p + 1
+      val pivot = a(lo + (hi - lo) / 2)
+      // Dutch-national-flag: [lo,lt) < pivot, [lt,i) == pivot, (gt,hi] > pivot
+      var lt = lo
+      var gt = hi
+      var i = lo
+      while (i <= gt) {
+        val v = a(i)
+        if (v < pivot) { swap(a, i, lt); lt += 1; i += 1 }
+        else if (v > pivot) { swap(a, i, gt); gt -= 1 }
+        else i += 1
+      }
+      if (k < lt) hi = lt - 1
+      else if (k > gt) lo = gt + 1
+      else return pivot
     }
     a(k)
-  }
-
-  private def partition(a: Array[Long], lo: Int, hi: Int, pivotIdx: Int): Int = {
-    val pivot = a(pivotIdx)
-    swap(a, pivotIdx, hi)
-    var store = lo
-    var i = lo
-    while (i < hi) {
-      if (a(i) < pivot) { swap(a, i, store); store += 1 }
-      i += 1
-    }
-    swap(a, store, hi)
-    store
   }
 
   @inline private def swap(a: Array[Long], i: Int, j: Int): Unit = {
