@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+import graft.sketch.interop.DataSketchesHll
+
+/** ds_hll_estimate(binary) — cardinality estimate of an Apache
+  * DataSketches HLL image (Java/C++/Go `.sk` bytes, any mode/encoding),
+  * using the reference estimator chain (HIP / composite interpolation /
+  * coupon mapping). Lets a corpus of externally-generated sketches be
+  * queried — and joined against the engine's own hll_agg results —
+  * without a re-count over the raw data. */
+case class DsHllEstimate(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "ds_hll_estimate"
+
+  override def nullSafeEval(v: Any): Any =
+    DataSketchesHll.estimate(DataSketchesHll.read(v.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.sketch.interop.DataSketchesHll.estimate(graft.sketch.interop.DataSketchesHll.read($c))")
+
+  override protected def withNewChildInternal(c: Expression): DsHllEstimate =
+    copy(child = c)
+}

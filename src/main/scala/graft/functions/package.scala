@@ -77,6 +77,10 @@ package object functions {
   def kll_partition_boundaries(sketch: Column, numParts: Int): Column =
     c(KllPartitionBoundaries(e(sketch), e(org.apache.spark.sql.functions.lit(numParts))))
 
+  /** Estimate of an external Apache DataSketches HLL image (cross-language
+    * read-side interop; see graft.sketch.interop). */
+  def ds_hll_estimate(col: Column): Column = c(DsHllEstimate(e(col)))
+
   def freq_sketch_agg(col: Column, lgMaxMapSize: Int = FreqSketch.DefaultLgMaxMapSize): Column =
     c(FreqSketchAgg(e(col), lgMaxMapSize).toAggregateExpression())
 
@@ -128,5 +132,7 @@ package object functions {
       exprs => FreqSketchAgg(exprs(0), intArg(exprs(1))).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("freq_top_items",
       exprs => FreqTopItems(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("ds_hll_estimate",
+      exprs => DsHllEstimate(exprs(0)), "built-in")
   }
 }

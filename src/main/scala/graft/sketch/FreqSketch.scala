@@ -112,6 +112,15 @@ final class FreqSketch[T] private (
     this
   }
 
+  /** Import externally-decoded state (cross-language image replay:
+    * counts are replayed through update(), then the image's offset and
+    * stream weight override the replay-accumulated values, mirroring
+    * frequencies/longs_sketch.go:137-174). */
+  private[sketch] def importState(offset: Long, streamWeight: Long): Unit = {
+    _offset = offset
+    _streamWeight = streamWeight
+  }
+
   def serialize(ser: FreqSketch.Serde[T]): Array[Byte] = {
     val items = counts.toArray.sortBy(_._1.toString) // canonical order
     val payload = items.map { case (it, _) => ser.toBytes(it) }
