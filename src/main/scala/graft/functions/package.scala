@@ -65,6 +65,13 @@ package object functions {
   def kll_sketch_agg(col: Column, k: Int = KllSketch.DefaultK): Column =
     c(KllSketchAgg(e(col), k).toAggregateExpression())
 
+  /** K2 generic-items KLL: string instantiation. */
+  def kll_string_agg(col: Column, k: Int = KllSketch.DefaultK): Column =
+    c(KllStringAgg(e(col), k).toAggregateExpression())
+
+  def kll_string_quantiles(sketch: Column, ranks: Column): Column =
+    c(KllStringQuantiles(e(sketch), e(ranks)))
+
   def kll_quantiles(sketch: Column, ranks: Column): Column =
     c(KllQuantiles(e(sketch), e(ranks)))
 
@@ -120,6 +127,10 @@ package object functions {
       exprs => HllBounds(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("kll_agg",
       exprs => KllSketchAgg(exprs(0), intArg(exprs(1))).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("kll_string_agg",
+      exprs => KllStringAgg(exprs(0), intArg(exprs(1))).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("kll_string_quantiles",
+      exprs => KllStringQuantiles(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("kll_quantiles",
       exprs => KllQuantiles(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("kll_rank",

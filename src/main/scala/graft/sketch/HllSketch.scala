@@ -108,21 +108,37 @@ final class HllSketch private (
   // ---- estimate ----------------------------------------------------------
 
   def estimate: Double = {
-    if (!isDense) return sparse.size.toDouble // coupons are ~unique hashes below k/4 << 2^26
+    if (!isDense) {
+      // coupon-count -> n cubic interpolation over the published mapping
+      // (reference hll/coupon.go:75-79) — collisions in the 26-bit coupon
+      // space start to matter above ~10^5 coupons
+      val c = sparse.size
+      return math.max(
+        interop.DataSketchesHll.cubicWithTables(
+          interop.HllXTables.couponMappingX, interop.HllXTables.couponMappingY, c.toDouble),
+        c.toDouble)
+    }
     if (outOfOrder) compositeEstimate else hipAccum
   }
 
+  /** Reference composite estimator (hll/hll_estimator.go:26-77): raw HLL
+    * estimate corrected through the published cubic-interpolation bias
+    * tables, with the harmonic linear-counting estimator below the
+    * crossover — replaces the round-1 classic alpha*m^2 + linear-counting
+    * estimator, whose mid-range error exceeded the reference's +-2%
+    * golden tolerance. */
   private def compositeEstimate: Double = {
-    val m = k.toDouble
-    val alpha = 0.7213 / (1.0 + 1.079 / m) // valid for m >= 128; lgK >= 7 in practice
-    val raw = alpha * m * m / kxq
-    if (raw <= 2.5 * m) {
-      var zeros = 0
-      var i = 0
-      while (i < k) { if (regs(i) == 0) zeros += 1; i += 1 }
-      if (zeros > 0) return m * math.log(m / zeros)
+    var curMin = 64
+    var numAtCurMin = 0
+    var i = 0
+    while (i < k) {
+      val v = regs(i) & 0xff
+      if (v <= curMin) {
+        if (v < curMin) { curMin = v; numAtCurMin = 1 } else numAtCurMin += 1
+      }
+      i += 1
     }
-    raw
+    interop.DataSketchesHll.compositeEstimate(lgK, kxq, curMin, numAtCurMin)
   }
 
   /** Closed-form relative standard error (reference: hll/utils.go:51-54). */

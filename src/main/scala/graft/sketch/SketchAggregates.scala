@@ -184,6 +184,58 @@ case class KllSketchAgg(
     copy(child = c.head)
 }
 
+/** kll_string_agg(stringCol, k) → binary items-sketch image — the K2
+  * generic-item instantiation the reference tests with strings
+  * (kll/items_sketch_test.go:31-135). */
+case class KllStringAgg(
+    child: Expression,
+    k: Int = KllSketch.DefaultK,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllItemsSketch[String]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "kll_string_agg"
+
+  override def createAggregationBuffer(): KllItemsSketch[String] =
+    new KllItemsSketch[String](k)
+
+  override def update(buf: KllItemsSketch[String], input: InternalRow): KllItemsSketch[String] = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.toString)
+    buf
+  }
+
+  override def merge(buf: KllItemsSketch[String], other: KllItemsSketch[String]): KllItemsSketch[String] =
+    buf.merge(other)
+  override def eval(buf: KllItemsSketch[String]): Any = buf.serialize()
+  override def serialize(buf: KllItemsSketch[String]): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): KllItemsSketch[String] =
+    KllItemsSketch.deserialize[String](bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): KllStringAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllStringAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KllStringAgg =
+    copy(child = c.head)
+}
+
+/** kll_string_quantiles(sketch, array<double> ranks) → array<string>. */
+case class KllStringQuantiles(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "kll_string_quantiles"
+  override def nullSafeEval(b: Any, ranks: Any): Any = {
+    val sk = KllItemsSketch.deserialize[String](b.asInstanceOf[Array[Byte]])
+    new GenericArrayData(ranks.asInstanceOf[ArrayData].toDoubleArray()
+      .map(r => org.apache.spark.unsafe.types.UTF8String.fromString(sk.quantile(r))))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KllStringQuantiles =
+    copy(left = l, right = r)
+}
+
 /** kll_quantiles(sketch, array<double> ranks) → array<double> (K6/K7). */
 case class KllQuantiles(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
