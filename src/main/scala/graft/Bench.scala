@@ -21,8 +21,11 @@ object Bench {
   /** Shuffle partitioning is FIXED across core counts: the scaling
     * protocol varies only the executor parallelism, exactly like adding
     * executors to a cluster without re-planning the job. */
+  /** 256 measured best on this box: 128 leaves wave-quantized stragglers
+    * at 32 cores (66.6s vs 52.0s for the identical 200k-conv run), 512
+    * drowns 8-core runs in task overhead (146s vs 119.6s). */
   private val ShufflePartitions =
-    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "128")
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "256")
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -30,6 +33,9 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", ShufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
+      // small parquet dirs need small scan splits for full parallelism
+      // (see DedupOnce); production-size tables keep the 128MB default
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -94,7 +100,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val lowCores = math.max(1, cpus / 4)
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "200000").toInt
+    // 300k convs (~5.5M turns): big enough that the ~10s of width-invariant
+    // stage residue (docs build, banding windows, CC collect) stops
+    // dominating the scaling ratio, small enough for a ~20 min bench
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "300000").toInt
 
     // --- dedup scaling benchmark: identical parquet input, cpus/4 vs cpus
     val cfg = DedupConfig()

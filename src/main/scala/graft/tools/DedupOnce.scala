@@ -25,6 +25,12 @@ object DedupOnce {
       .appName(s"graft-dedup-once-$cores")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
+      // the bench corpus is one ~400MB parquet dir: the default 128MB scan
+      // split gives buildDocs ~4 map tasks and starves 32 cores (measured
+      // 81.0s vs 72.6s for the identical 300k-conv run); 16MB restores scan
+      // parallelism at both widths. Production multi-TB tables have
+      // thousands of files and keep the default.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
