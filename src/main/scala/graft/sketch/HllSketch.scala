@@ -17,18 +17,20 @@ import graft.core.Murmur3x128
   *    phase; LIST-vs-SET is a constant-factor memory optimization)
   *  - HIP accumulator maintained incrementally while updates are in-order;
   *    merge invalidates HIP → composite estimate (reference:
-  *    hll/hll_array.go:89-99). Our composite is the classic HLL estimator
-  *    (alpha_m · m²/Σ2^-reg) with linear-counting small-range correction
-  *    (Flajolet et al. 2007, Heule et al. 2013) instead of the reference's
-  *    interpolation tables — estimates differ slightly, error bounds match
-  *    the closed forms (hll/utils.go:51-54).
+  *    hll/hll_array.go:89-99). The composite/coupon estimators use the
+  *    published interpolation tables (round 2; see compositeEstimate),
+  *    matching the reference's estimator chain.
+  *  - lgK-mismatched unions DOWNSAMPLE to the smaller lgK (slot-fold max,
+  *    coupons are lgK-independent) — the branches the fork left
+  *    unimplemented (hll/union.go:273,289,303), implemented here with
+  *    upstream's effective-lgK = min semantics.
   *
   * Dense registers are a flat Array[Byte] — "columnar-within-one-value",
   * the layout that makes the TypedImperativeAggregate buffer mapping
   * natural (SURVEY §1.1).
   */
 final class HllSketch private (
-    val lgK: Int,
+    private var _lgK: Int,
     private var sparse: java.util.HashSet[Integer],
     private var regs: Array[Byte],
     private var hipAccum: Double,
@@ -36,6 +38,8 @@ final class HllSketch private (
     private var outOfOrder: Boolean) extends Serializable {
 
   import HllSketch._
+
+  def lgK: Int = _lgK
 
   def this(lgK: Int) = {
     this(lgK, new java.util.HashSet[Integer](), null, 0.0, 0.0, false)
@@ -159,12 +163,51 @@ final class HllSketch private (
 
   // ---- merge ---------------------------------------------------------------
 
-  /** In-place union. lgK must match — the reference's downsampling branches
-    * are unimplemented (hll/union.go:273,289,303); we pin one lgK per query
-    * and reject mismatches loudly (SURVEY §7 hard parts). */
-  def merge(other: HllSketch): HllSketch = {
-    require(other.lgK == lgK,
-      s"HLL lgK mismatch: $lgK vs ${other.lgK} (pin one lgK per query)")
+  /** Downsample in place to a smaller lgK. Valid because both the coupon
+    * slot address and the dense slot index take the LOW bits of the same
+    * 26-bit hash field, and the register value (leading-zero count of the
+    * other hash word) is lgK-independent: newReg[s & (k'-1)] = max over
+    * folded slots is exactly the sketch that direct updates at lgK' would
+    * have produced, register for register. HIP does not survive a fold →
+    * out-of-order composite estimation afterwards. */
+  def downsample(targetLgK: Int): HllSketch = {
+    require(targetLgK >= 4 && targetLgK <= _lgK,
+      s"can only downsample: $targetLgK vs ${_lgK}")
+    if (targetLgK == _lgK) return this
+    if (!isDense) {
+      _lgK = targetLgK // coupons are lgK-independent; threshold shrinks
+      if (sparse.size > (k >> 2)) promote()
+      return this
+    }
+    val k2 = 1 << targetLgK
+    val folded = new Array[Byte](k2)
+    var i = 0
+    while (i < k) {
+      val s2 = i & (k2 - 1)
+      if ((regs(i) & 0xff) > (folded(s2) & 0xff)) folded(s2) = regs(i)
+      i += 1
+    }
+    _lgK = targetLgK
+    regs = folded
+    kxq = k2.toDouble
+    i = 0
+    while (i < k2) {
+      val v = folded(i) & 0xff
+      if (v > 0) kxq += invPow2(v) - 1.0
+      i += 1
+    }
+    outOfOrder = true
+    hipAccum = 0.0
+    this
+  }
+
+  /** In-place union. lgK mismatches resolve to the SMALLER lgK (upstream
+    * union semantics — the branches the fork left unimplemented,
+    * hll/union.go:273,289,303): the larger side is slot-folded down. */
+  def merge(other0: HllSketch): HllSketch = {
+    if (other0.lgK < _lgK) downsample(other0.lgK)
+    val other =
+      if (other0.lgK > _lgK) other0.copy().downsample(_lgK) else other0
     if (!other.isDense) {
       val it = other.sparse.iterator()
       if (!isDense && sparse.size + other.sparse.size <= (k >> 2)) {
@@ -227,6 +270,68 @@ final class HllSketch private (
   }
 
   def copy(): HllSketch = HllSketch.deserialize(serialize())
+
+  /** Export as an Apache DataSketches-format compact image (write-side
+    * cross-language compat): sparse → SET-mode coupon image, dense →
+    * HLL-mode HLL8 image with recomputed curMin/numAtCurMin and split
+    * KxQ0/KxQ1. Round-trips through interop.DataSketchesHll.read and is
+    * readable by the Java/C++/Go libraries (layouts per
+    * hll/preamble_utils.go:27-90, hll/to_slice_impl.go:25-168). */
+  def toDataSketchesImage: Array[Byte] = {
+    val emptyFlag = 4; val compactFlag = 8; val oooFlag = 16
+    if (!isDense) {
+      val coupons = new Array[Int](sparse.size)
+      val it = sparse.iterator()
+      var i = 0
+      while (it.hasNext) { coupons(i) = it.next(); i += 1 }
+      java.util.Arrays.sort(coupons)
+      val bb = ByteBuffer.allocate(12 + 4 * coupons.length).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(3.toByte)  // preInts (SET)
+      bb.put(1.toByte)  // serVer
+      bb.put(FamilyHll)
+      bb.put(lgK.toByte)
+      bb.put(5.toByte)  // lgArr (informational for compact images)
+      bb.put((compactFlag | (if (coupons.isEmpty) emptyFlag else 0)).toByte)
+      bb.put(0.toByte)  // unused (set count lives at int 8)
+      bb.put(((2 << 2) | 1).toByte) // modeByte: tgt HLL8, curMode SET
+      bb.putInt(coupons.length)
+      coupons.foreach(bb.putInt)
+      bb.array()
+    } else {
+      var curMin = 64
+      var numAtCurMin = 0
+      var kxq0 = k.toDouble
+      var kxq1 = 0.0
+      var i = 0
+      while (i < k) {
+        val v = regs(i) & 0xff
+        if (v > 0) {
+          val inv = invPow2(v)
+          if (v < 32) kxq0 += inv - 1.0 else kxq1 += inv - 1.0
+        }
+        if (v <= curMin) {
+          if (v < curMin) { curMin = v; numAtCurMin = 1 } else numAtCurMin += 1
+        }
+        i += 1
+      }
+      val bb = ByteBuffer.allocate(40 + k).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(10.toByte) // preInts (HLL)
+      bb.put(1.toByte)  // serVer
+      bb.put(FamilyHll)
+      bb.put(lgK.toByte)
+      bb.put(0.toByte)  // lgArr (unused for HLL mode)
+      bb.put((compactFlag | (if (outOfOrder) oooFlag else 0)).toByte)
+      bb.put(curMin.toByte)
+      bb.put(((2 << 2) | 2).toByte) // modeByte: tgt HLL8, curMode HLL
+      bb.putDouble(if (outOfOrder) 0.0 else hipAccum)
+      bb.putDouble(kxq0)
+      bb.putDouble(kxq1)
+      bb.putInt(numAtCurMin)
+      bb.putInt(0)      // auxCount (HLL8 has no aux map)
+      bb.put(regs)
+      bb.array()
+    }
+  }
 }
 
 object HllSketch {

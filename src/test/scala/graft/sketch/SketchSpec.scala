@@ -46,15 +46,19 @@ class HllSketchSpec extends AnyFunSuite {
     assert(c.estimate === 1.0) // -0.0 canonicalized
   }
 
-  test("merge == union; estimate within bounds; lgK mismatch rejected") {
+  test("merge == union; estimate within bounds; lgK mismatch downsamples to min") {
     val n = 50000L
     val a = new HllSketch(12); fill(a, 0, n)
     val b = new HllSketch(12); fill(b, n / 2, n) // overlap: true union = 1.5n
     a.merge(b)
     val trueU = 3 * n / 2
     assert(math.abs(a.estimate - trueU) / trueU < 3.5 * 1.0390 / math.sqrt(4096.0))
-    val c = new HllSketch(11)
-    intercept[IllegalArgumentException] { a.merge(c) }
+    // round 2: lgK mismatch resolves via downsampling (upstream union
+    // semantics — the fork's unimplemented branches); see HllInteropSpec
+    val c = new HllSketch(11); fill(c, 0, 1000)
+    a.merge(c)
+    assert(a.lgK === 11)
+    assert(math.abs(a.estimate - trueU) / trueU < 3.5 * 1.0390 / math.sqrt(2048.0))
   }
 
   test("merge is order-insensitive on the dense state") {
