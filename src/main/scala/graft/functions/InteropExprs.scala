@@ -29,3 +29,25 @@ case class DsHllEstimate(child: Expression)
   override protected def withNewChildInternal(c: Expression): DsHllEstimate =
     copy(child = c)
 }
+
+/** hll_from_ds(binary) — convert an Apache DataSketches HLL image into the
+  * engine's own sketch image, so external sketches flow into hll_merge_agg
+  * / hll_estimate / hll_bounds like any Spark-built sketch (cross-language
+  * union without touching raw data). */
+case class HllFromDs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "hll_from_ds"
+
+  override def nullSafeEval(v: Any): Any =
+    graft.sketch.HllSketch.fromDataSketchesImage(v.asInstanceOf[Array[Byte]]).serialize()
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.sketch.HllSketch.fromDataSketchesImage($c).serialize()")
+
+  override protected def withNewChildInternal(c: Expression): HllFromDs =
+    copy(child = c)
+}

@@ -88,6 +88,10 @@ package object functions {
     * read-side interop; see graft.sketch.interop). */
   def ds_hll_estimate(col: Column): Column = c(DsHllEstimate(e(col)))
 
+  /** Convert an external DataSketches HLL image into an engine sketch
+    * image (feed into hll_merge_agg / hll_estimate / hll_bounds). */
+  def hll_from_ds(col: Column): Column = c(HllFromDs(e(col)))
+
   def freq_sketch_agg(col: Column, lgMaxMapSize: Int = FreqSketch.DefaultLgMaxMapSize): Column =
     c(FreqSketchAgg(e(col), lgMaxMapSize).toAggregateExpression())
 
@@ -145,5 +149,7 @@ package object functions {
       exprs => FreqTopItems(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("ds_hll_estimate",
       exprs => DsHllEstimate(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("hll_from_ds",
+      exprs => HllFromDs(exprs(0)), "built-in")
   }
 }

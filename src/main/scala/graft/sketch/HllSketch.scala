@@ -353,6 +353,33 @@ object HllSketch {
   private val InvPow2Table: Array[Double] = Array.tabulate(64)(i => math.pow(2.0, -i))
   @inline def invPow2(v: Int): Double = InvPow2Table(v)
 
+  /** Import an Apache DataSketches HLL image (any mode, any encoding —
+    * Java/C++/Go) into the engine's sketch: coupon modes map directly (the
+    * (value<<26)|slot pair encoding is shared), HLL4/6/8 registers all land
+    * in our byte registers — the H17 "convert" semantics, and the bridge
+    * that lets externally-generated sketches union with Spark aggregates. */
+  def fromDataSketchesImage(bytes: Array[Byte]): HllSketch = {
+    val img = graft.sketch.interop.DataSketchesHll.read(bytes)
+    if (img.mode != 2) {
+      val set = new java.util.HashSet[Integer](math.max(16, img.coupons.length * 2))
+      img.coupons.foreach(c => if (c != 0) set.add(c))
+      new HllSketch(img.lgK, set, null, 0.0, 0.0, img.outOfOrder)
+    } else {
+      val k = 1 << img.lgK
+      val regs = new Array[Byte](k)
+      var kxq = k.toDouble
+      var i = 0
+      while (i < k) {
+        val v = img.slots(i)
+        regs(i) = v.toByte
+        if (v > 0) kxq += invPow2(v) - 1.0
+        i += 1
+      }
+      val hipValid = !img.outOfOrder && !img.rebuildFlags && img.hipAccum > 0.0
+      new HllSketch(img.lgK, null, regs, img.hipAccum, kxq, !hipValid)
+    }
+  }
+
   def deserialize(bytes: Array[Byte]): HllSketch = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(bb.get() == Magic, "bad magic")

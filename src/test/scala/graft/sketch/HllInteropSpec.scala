@@ -69,4 +69,39 @@ class HllInteropSpec extends AnyFunSuite {
     assert(img3.mode === 1)
     assert(img3.estimate === sparse.estimate)
   }
+
+  test("import: Java/C++ images (all encodings) become engine sketches and union") {
+    val dir = "/root/reference/serialization_test_data/java_generated_files"
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    def img(name: String) =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, name))
+    for (enc <- Seq(4, 6, 8); n <- Seq(100, 10000, 100000)) {
+      val sk = HllSketch.fromDataSketchesImage(img(s"hll${enc}_n${n}_java.sk"))
+      assert(sk.lgK === 12)
+      assert(math.abs(sk.estimate - n) <= n * 0.02, s"hll$enc n=$n -> ${sk.estimate}")
+    }
+    // the generators update items 1..n, so union(n=1000, n=100000) has
+    // true cardinality 100000 — cross-encoding union via import
+    val u = HllSketch.fromDataSketchesImage(img("hll4_n1000_java.sk"))
+      .merge(HllSketch.fromDataSketchesImage(img("hll8_n100000_java.sk")))
+    val tol = 3 * 1.0390 / math.sqrt(4096.0)
+    assert(math.abs(u.estimate - 100000) <= 100000 * tol, s"union ${u.estimate}")
+  }
+
+  test("hll_from_ds: external images union with Spark-built sketches in a query") {
+    val spark = graft.pipeline.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = "/root/reference/serialization_test_data/java_generated_files"
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "hll8_n100000_java.sk"))
+    val df = Seq(Tuple1(bytes)).toDF("img")
+    val est = df.agg(graft.functions.hll_estimate(
+      graft.functions.hll_merge_agg(graft.functions.hll_from_ds(col("img")), 12))
+      .as("est")).head().getDouble(0)
+    // the union aggregate is out-of-order by construction -> composite
+    // estimator -> merged-sketch tolerance (3 sd of 1.0390/sqrt(k))
+    assert(math.abs(est - 100000) <= 100000 * (3 * 1.0390 / math.sqrt(4096.0)), s"est $est")
+  }
 }
