@@ -333,13 +333,22 @@ object SparkEntry {
       import graft.functions._
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(hll_estimate(hll_agg(col("l_partkey"), 12)).as("est_p"),
-          hll_estimate(hll_agg(col("l_orderkey"), 12)).as("est_o"),
+        .agg(hll_agg(col("l_partkey"), 12).as("skp"),
+          hll_agg(col("l_orderkey"), 12).as("sko"),
           countDistinct(col("l_partkey")).as("exact_parts"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
         .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          hll_estimate(col("skp")).as("est_p"),
+          hll_bounds(col("skp"), 3).as("bp"),
+          hll_estimate(col("sko")).as("est_o"),
+          hll_bounds(col("sko"), 3).as("bo"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
           (abs(col("est_p") / col("exact_parts") - 1.0) <= 0.04).as("parts_ok"),
-          (abs(col("est_o") / col("exact_orders") - 1.0) <= 0.04).as("orders_ok"))
+          (abs(col("est_o") / col("exact_orders") - 1.0) <= 0.04).as("orders_ok"),
+          // H14: the 3-sd interval must contain the exact count
+          (col("bp.lb") <= col("exact_parts") && col("exact_parts") <= col("bp.ub") &&
+            col("bo.lb") <= col("exact_orders") && col("exact_orders") <= col("bo.ub"))
+            .as("bounds_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -356,6 +365,7 @@ object SparkEntry {
         .select(col("l_returnflag"),
           kll_quantiles(col("sk"), array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("qs"),
           kll_rank(col("sk"), lit(30000.0)).as("r30"),
+          kll_cdf(col("sk"), array(lit(20000.0), lit(40000.0))).as("cdf"),
           kll_partition_boundaries(col("sk"), 8).as("pb"))
       def exactRankLe(v: Column): Column =
         sum(when(col("v") <= v, 1L).otherwise(0L)).cast("double") / count(lit(1))
@@ -369,14 +379,21 @@ object SparkEntry {
           exactRankLe(element_at(col("qs"), 3)).as("er75"),
           exactRankLe(element_at(col("qs"), 4)).as("er95"),
           exactRankLe(lit(30000.0)).as("er30k"),
+          exactRankLe(lit(20000.0)).as("er20k"),
+          exactRankLe(lit(40000.0)).as("er40k"),
           min(col("v")).as("vmin"), max(col("v")).as("vmax"),
-          first(col("r30")).as("r30"), first(col("pb")).as("pb"))
+          first(col("r30")).as("r30"), first(col("cdf")).as("cdf"),
+          first(col("pb")).as("pb"))
         .select(col("l_returnflag"), col("n"),
           (abs(col("er25") - 0.25) <= eps).as("ok_q25"),
           (abs(col("er50") - 0.50) <= eps).as("ok_q50"),
           (abs(col("er75") - 0.75) <= eps).as("ok_q75"),
           (abs(col("er95") - 0.95) <= eps).as("ok_q95"),
           (abs(col("r30") - col("er30k")) <= eps).as("ok_rank30k"),
+          // K8: CDF at split points within rank error, trailing element 1.0
+          (abs(element_at(col("cdf"), 1) - col("er20k")) <= eps &&
+            abs(element_at(col("cdf"), 2) - col("er40k")) <= eps &&
+            element_at(col("cdf"), 3) === 1.0).as("ok_cdf"),
           (col("pb") === array_sort(col("pb")) &&
             element_at(col("pb"), 1) === col("vmin") &&
             element_at(col("pb"), -1) === col("vmax")).as("ok_bounds"))
@@ -634,12 +651,12 @@ object SparkEntry {
       """SELECT l_returnflag,
          COUNT(DISTINCT l_partkey) AS exact_parts,
          COUNT(DISTINCT l_orderkey) AS exact_orders,
-         TRUE AS parts_ok, TRUE AS orders_ok
+         TRUE AS parts_ok, TRUE AS orders_ok, TRUE AS bounds_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q21_sketch_kll_quantiles" ->
       """SELECT l_returnflag, COUNT(*) AS n,
          TRUE AS ok_q25, TRUE AS ok_q50, TRUE AS ok_q75, TRUE AS ok_q95,
-         TRUE AS ok_rank30k, TRUE AS ok_bounds
+         TRUE AS ok_rank30k, TRUE AS ok_cdf, TRUE AS ok_bounds
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q22_sketch_freq_heavy" ->
       """SELECT event_type AS item, COUNT(*) AS estimate
