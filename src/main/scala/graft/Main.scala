@@ -3,13 +3,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.core.DedupConfig
-import graft.pipeline.{CheckpointedDedup, DedupPipeline, ParquetTableIO, Transcripts}
+import graft.pipeline.{CatalogTableIO, CheckpointedDedup, DedupPipeline, ParquetTableIO, Transcripts}
 
 /** spark-submit entry point: run the checkpointed dedup pipeline.
   *
   *   spark-submit --class graft.Main <jar> \
   *     --input <transcripts parquet dir | synth:N> \
-  *     --workdir <checkpoint root> --run-id <id> [--resume]
+  *     --workdir <checkpoint root> --run-id <id> [--resume] \
+  *     [--catalog <catalog.namespace>]   # Iceberg-style catalog tables
+  *                                       # instead of parquet paths
   *
   * Re-submitting with the same --run-id resumes mid-pipeline from the
   * metrics table (north rule). In this sandbox it also runs via
@@ -43,7 +45,13 @@ object Main {
           spark.sparkContext.defaultParallelism * 2)
       } else spark.read.parquet(input)
 
-    val pipeline = new CheckpointedDedup(new ParquetTableIO(workdir), DedupConfig(), runId)
+    // --catalog db / catalog.db routes every stage table through the
+    // session's (e.g. Iceberg) catalog; default is parquet under --workdir
+    val io = opts.get("catalog") match {
+      case Some(prefix) => new CatalogTableIO(prefix)
+      case None => new ParquetTableIO(workdir)
+    }
+    val pipeline = new CheckpointedDedup(io, DedupConfig(), runId)
     val assignments = pipeline.run(transcripts)
 
     val nClusters = assignments.select("cluster_id").distinct().count()
