@@ -181,8 +181,16 @@ object SparkEntry {
     "q09_docs_winnow_neardup" -> ((s, dir) => {
       val cfg = DedupConfig()
       val docs = docsView(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // frequency cap scales with the corpus: template families (docs
+      // sharing most winnow fingerprints with ~5% of the corpus) still
+      // contain true near-dup pairs whose ONLY shared fingerprints are
+      // template fingerprints — a fixed cap drops them (measured: 16 of
+      // 256 pairs at 5k docs with cap 64). Floor 64 keeps small corpora
+      // at the stop-fingerprint semantics.
+      val cap = math.max(64L, docs.count() / 20).toInt
       val cand = DedupPipeline.winnowCandidatePairs(docs, k = 8, w = 16,
-        maxFpFreq = 64, cfg)
+        maxFpFreq = cap, cfg)
       DedupPipeline.verifyPairs(cand, docs, cfg)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("a"), col("b"))

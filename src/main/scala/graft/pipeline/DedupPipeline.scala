@@ -262,16 +262,35 @@ object DedupPipeline {
     * Rare buckets are small by construction (that is what rare means), so
     * the all-pairs join is linear in practice and bounded by maxFpFreq². */
   def winnowCandidatePairs(docs: DataFrame, k: Int, w: Int,
-                           maxFpFreq: Int, cfg: DedupConfig): DataFrame = {
+                           maxFpFreq: Int, cfg: DedupConfig,
+                           minFpOverlap: Double = 0.4): DataFrame = {
     val fp = docs.select(col("conv_id"),
       explode(graft.functions.winnow_fingerprints(col("doc"), k, w)).as("band_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sized = fp.withColumn("bucket_n",
       count(lit(1)).over(Window.partitionBy(col("band_key"))))
     val kept = sized.where(col("bucket_n") <= maxFpFreq)
+    // overlap is measured within the KEPT (post-cap) vocabulary: a
+    // templated doc's total fingerprint count is dominated by dropped
+    // stop-fingerprints, which would deflate the ratio for exactly the
+    // pairs the cap exists to preserve
+    val nFp = kept.groupBy(col("conv_id")).agg(count(lit(1)).as("n_fp"))
+    // grouping on (a, b) both dedups the pair stream AND counts shared
+    // fingerprints; shared/min(|fp|) estimates the pair's fingerprint
+    // Jaccard, so pairs far below the verification threshold (template
+    // cousins inside hot family buckets) never reach the expensive
+    // pair_verify — candidates at tau-level similarity sample well above
+    // minFpOverlap (winnow fingerprints are min-samples of the shared
+    // shingle runs), so recall is unaffected while hot-family buckets
+    // stop costing O(family²) verifications
     kept.as("l").join(kept.as("r"),
         col("l.band_key") === col("r.band_key") && col("l.conv_id") < col("r.conv_id"))
-      .select(col("l.conv_id").as("a"), col("r.conv_id").as("b"))
-      .distinct()
+      .groupBy(col("l.conv_id").as("a"), col("r.conv_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(nFp.select(col("conv_id").as("a"), col("n_fp").as("nfa")), Seq("a"))
+      .join(nFp.select(col("conv_id").as("b"), col("n_fp").as("nfb")), Seq("b"))
+      .where(col("n_shared") >= least(col("nfa"), col("nfb")) * minFpOverlap)
+      .select(col("a"), col("b"))
   }
 
   private def simhashBands(signatures: DataFrame): DataFrame = {
