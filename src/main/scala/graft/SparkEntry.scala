@@ -465,6 +465,171 @@ object SparkEntry {
       cmp.select(col("n_assignments"),
         (col("resume_matches_direct") && lit(midRecomputedOnlyCc)).as("resume_matches_direct"),
         lit(stages2).as("stages_computed_resume"))
+    }),
+
+    // K2 generic-items KLL under the driver: string quantiles over the
+    // event_type stream; each returned quantile's EXACT rank (computed in
+    // Spark) must sit within the sketch's published normalized rank error
+    // of the requested rank — plus a LE-quantile minimality check (the
+    // string strictly below the quantile must rank below r).
+    "q25_sketch_kll_string" -> ((s, dir) => {
+      import graft.functions._
+      val eps = 0.0165 // k=200 rank error (K10)
+      val ev = t(s, dir, "events").select(col("event_type").as("v"))
+      val sk = ev.agg(kll_string_agg(col("v"), 200).as("sk"))
+        .select(kll_string_quantiles(col("sk"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+      def exactRankLe(q: Column): Column =
+        sum(when(col("v") <= q, 1L).otherwise(0L)).cast("double") / count(lit(1))
+      ev.crossJoin(sk)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("v")).as("n_types"),
+          exactRankLe(element_at(col("qs"), 1)).as("er25"),
+          exactRankLe(element_at(col("qs"), 2)).as("er50"),
+          exactRankLe(element_at(col("qs"), 3)).as("er75"),
+          first(col("qs")).as("qs"))
+        .select(col("n"), col("n_types"),
+          (col("er25") >= 0.25 - eps).as("ok_q25"),
+          (col("er50") >= 0.5 - eps).as("ok_q50"),
+          (col("er75") >= 0.75 - eps).as("ok_q75"),
+          (element_at(col("qs"), 1) <= element_at(col("qs"), 2) &&
+            element_at(col("qs"), 2) <= element_at(col("qs"), 3)).as("ok_sorted"))
+    }),
+
+    // Cross-language DataSketches interop under the driver: every golden
+    // Java/C++ HLL fixture (3 encodings x 8 cardinalities) must (a)
+    // estimate within the reference's own 2% via ds_hll_estimate, (b)
+    // import via hll_from_ds with the same estimate, (c) survive an
+    // engine export round-trip in its ORIGINAL encoding (write-side
+    // HLL4/6/8), and (d) merge across all 6 same-n images via
+    // hll_merge_agg to within composite-estimator error (the fixtures of
+    // one n share one stream, so the union is the same set).
+    "q26_sketch_ds_interop" -> ((s, _) => {
+      import graft.functions._
+      import graft.sketch.HllSketch
+      import graft.sketch.interop.DataSketchesHll
+      val root = "/root/reference/serialization_test_data"
+      val rows = for {
+        (lang, sub) <- Seq("java" -> "java_generated_files", "cpp" -> "cpp_generated_files")
+        enc <- Seq(4, 6, 8)
+        n <- Seq(0L, 1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L)
+      } yield {
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(root, sub, s"hll${enc}_n${n}_$lang.sk"))
+        val tgt = enc match { case 4 => 0; case 6 => 1; case _ => 2 }
+        // engine import -> write-side export in the fixture's own encoding
+        // -> reference-format re-read (driver-side, 48 tiny files)
+        val rt = DataSketchesHll.read(
+          HllSketch.fromDataSketchesImage(bytes).toDataSketchesImage(tgt)).estimate
+        (lang, enc, n, bytes, rt)
+      }
+      import s.implicits._
+      def ok(est: Column, tol: Double): Column =
+        when(col("n") === 0, est === 0.0)
+          .otherwise(abs(est / col("n") - 1.0) <= tol)
+      rows.toDF("lang", "enc", "n", "bytes", "est_export_rt")
+        .withColumn("est_direct", ds_hll_estimate(col("bytes")))
+        .withColumn("est_import", hll_estimate(hll_from_ds(col("bytes"))))
+        .groupBy(col("n"))
+        .agg(count(lit(1)).as("n_images"),
+          bool_and(ok(col("est_direct"), 0.02)).as("ok_direct"),
+          bool_and(ok(col("est_import"), 0.02)).as("ok_import"),
+          bool_and(ok(col("est_export_rt"), 0.02)).as("ok_export"),
+          hll_estimate(hll_merge_agg(hll_from_ds(col("bytes")), 12)).as("est_merged"))
+        .select(col("n"), col("n_images"), col("ok_direct"), col("ok_import"),
+          col("ok_export"), ok(col("est_merged"), 0.04).as("ok_merged"))
+        .orderBy(col("n"))
+    }),
+
+    // K9 deterministic range partitioning under the driver: two
+    // repartitionByKllRange runs over the same input must land every row
+    // in the same partition (per-partition counts + order-insensitive
+    // checksums identical) — the property Spark's repartitionByRange
+    // (per-run sampling) does NOT give a resumed job.
+    "q27_kll_range_partition" -> ((s, dir) => {
+      import graft.ops.SkewTools
+      val ev = t(s, dir, "events").select(col("event_id"), col("value"))
+      def layout(): Array[(Int, Long, Long)] = {
+        SkewTools.repartitionByKllRange(ev, "value", 8)
+          .withColumn("pid", spark_partition_id())
+          .groupBy(col("pid"))
+          .agg(count(lit(1)).as("cnt"),
+            coalesce(bit_xor(xxhash64(col("event_id"))), lit(0L)).as("chk"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+      }
+      val a = layout(); val b = layout()
+      val n = a.map(_._2).sum
+      // bucket count is the checkable constant (hash placement can fold
+      // several of the 8 contiguous value-range buckets into one partition)
+      val bounds = SkewTools.kllBoundaries(ev, "value", 8)
+      val nBuckets = ev
+        .select(SkewTools.rangeBucket(col("value"), bounds).as("b"))
+        .distinct().count()
+      import s.implicits._
+      Seq((n, nBuckets, a.sameElements(b)))
+        .toDF("n_rows", "n_buckets", "runs_identical")
+    }),
+
+    // Structured Streaming under the driver: the transcripts flow through
+    // session-window doc assembly (event-time watermark, availableNow
+    // micro-batches) and must reproduce the batch buildDocs output
+    // byte-for-byte. A far-future sentinel closes the sessions.
+    "q28_streaming_docs" -> ((s, dir) => {
+      import graft.streaming.StreamingDedup
+      import org.apache.spark.sql.streaming.Trigger
+      val turnsDf = docTranscripts(s, dir)
+      val base = s"/tmp/graft-q28-${Integer.toHexString(dir.hashCode)}"
+      val basePath = new org.apache.hadoop.fs.Path(base)
+      val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(basePath)) fs.delete(basePath, true)
+      turnsDf.write.parquet(s"$base/in")
+      import s.implicits._
+      Seq(("__sentinel__", 0, new java.sql.Timestamp(3000000000000L), "x"))
+        .toDF("conv_id", "turn_idx", "ts", "text")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      val in = s.readStream
+        .schema("conv_id STRING, turn_idx INT, ts TIMESTAMP, text STRING")
+        .parquet(s"$base/in")
+      val name = "q28docs_" + java.lang.Long.toHexString(System.nanoTime())
+      val q = StreamingDedup.sessionDocs(in, watermark = "1 minute", gap = "5 minutes")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val streamed = s.table(name).where(col("conv_id") =!= "__sentinel__")
+        .select(col("conv_id"), col("doc").as("doc_stream"))
+      val batch = DedupPipeline.buildDocs(turnsDf)
+        .select(col("conv_id"), col("doc").as("doc_batch"))
+      streamed.join(batch, Seq("conv_id"), "full_outer")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(bool_and(col("doc_stream") === col("doc_batch")), lit(false))
+            .as("streaming_equals_batch"))
+    }),
+
+    // Frequencies PURGE regime under the driver (q22 covers only the
+    // exact regime): 150 distinct users through a capacity-48 sketch
+    // forces purges (offset > 0), and the NFN error contract must hold
+    // against Spark-computed exact counts — no item with true count >
+    // maxError missing, every reported bound containing the exact count.
+    "q29_sketch_freq_purge" -> ((s, dir) => {
+      import graft.functions._
+      val ev = t(s, dir, "events").select(col("user_id").cast("string").as("u"))
+      val top = ev.agg(freq_top_items(
+          freq_sketch_agg(col("u"), 6), false).as("t"))
+        .select(explode(col("t")).as("r"))
+        .select(col("r.item").as("u"), col("r.estimate").as("est"),
+          col("r.lb").as("lb"), col("r.ub").as("ub"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val maxErr = top.agg(max(col("ub") - col("lb"))).head().getLong(0)
+      val exact = ev.groupBy(col("u")).agg(count(lit(1)).as("exact"))
+      exact.join(top, Seq("u"), "full_outer")
+        .agg(countDistinct(col("u")).as("n_users"),
+          lit(maxErr > 0).as("purged"),
+          coalesce(bool_and(when(col("exact") > maxErr, col("est").isNotNull)
+            .otherwise(lit(true))), lit(false)).as("nfn_ok"),
+          coalesce(bool_and(when(col("est").isNotNull && col("exact").isNotNull,
+            col("lb") <= col("exact") && col("exact") <= col("ub"))
+            .otherwise(lit(true))), lit(false)).as("bounds_ok"))
     })
   )
 
@@ -694,6 +859,26 @@ object SparkEntry {
     "q24_dedup_resume" ->
       """SELECT COUNT(*) AS n_assignments, TRUE AS resume_matches_direct,
          CAST(0 AS BIGINT) AS stages_computed_resume
-         FROM documents"""
+         FROM documents""",
+    "q25_sketch_kll_string" ->
+      """SELECT COUNT(*) AS n, COUNT(DISTINCT event_type) AS n_types,
+         TRUE AS ok_q25, TRUE AS ok_q50, TRUE AS ok_q75, TRUE AS ok_sorted
+         FROM events""",
+    // the fixture inventory is a fixed constant of the reference repo:
+    // 6 images (java+cpp x hll4/6/8) per cardinality
+    "q26_sketch_ds_interop" ->
+      """SELECT n, CAST(6 AS BIGINT) AS n_images, TRUE AS ok_direct,
+         TRUE AS ok_import, TRUE AS ok_export, TRUE AS ok_merged
+         FROM (VALUES (CAST(0 AS BIGINT)), (1), (10), (100), (1000),
+                      (10000), (100000), (1000000)) t(n)
+         ORDER BY n""",
+    "q27_kll_range_partition" ->
+      """SELECT COUNT(*) AS n_rows, CAST(8 AS BIGINT) AS n_buckets,
+         TRUE AS runs_identical FROM events""",
+    "q28_streaming_docs" ->
+      "SELECT COUNT(*) AS n_docs, TRUE AS streaming_equals_batch FROM documents",
+    "q29_sketch_freq_purge" ->
+      """SELECT COUNT(DISTINCT user_id) AS n_users, TRUE AS purged,
+         TRUE AS nfn_ok, TRUE AS bounds_ok FROM events"""
   )
 }

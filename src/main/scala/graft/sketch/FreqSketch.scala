@@ -121,6 +121,40 @@ final class FreqSketch[T] private (
     _streamWeight = streamWeight
   }
 
+  /** Export as an Apache DataSketches-format Frequencies image — the
+    * write-side half of the cross-language serde (read side:
+    * interop.DataSketchesFreq). Layout per frequencies/preamble_utils.go:
+    * 20-134 and ToSlice (frequencies/longs_sketch.go:488-535): one
+    * preamble long when empty, else four (active/streamWeight/offset),
+    * then the active counts (int64) and items. `writeItem` is the DS item
+    * layout: raw int64 for longs, 4-byte LE length + UTF-8 for strings. */
+  def toDataSketchesImage(writeItem: (ByteBuffer, T) => Unit,
+                          itemSize: T => Int): Array[Byte] = {
+    val FamilyFreq = 10
+    def pre0(preLongs: Int, lgCur: Int, flags: Int): Long =
+      preLongs.toLong | (1L << 8) | (FamilyFreq.toLong << 16) |
+        (lgMaxMapSize.toLong << 24) | (lgCur.toLong << 32) | (flags.toLong << 40)
+    if (isEmpty) {
+      val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putLong(pre0(1, 3, 4)) // empty flag (Java convention, bit 2)
+      return bb.array()
+    }
+    val items = counts.toArray
+    val active = items.length
+    // smallest legal current map size holding `active` at 0.75 load
+    var lgCur = 3
+    while ((1 << lgCur) * 3 / 4 < active && lgCur < lgMaxMapSize) lgCur += 1
+    val bb = ByteBuffer.allocate(32 + 8 * active + items.map(i => itemSize(i._1)).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(pre0(4, lgCur, 0))
+    bb.putLong(active.toLong)
+    bb.putLong(_streamWeight)
+    bb.putLong(_offset)
+    items.foreach { case (_, c) => bb.putLong(c) }
+    items.foreach { case (it, _) => writeItem(bb, it) }
+    bb.array()
+  }
+
   def serialize(ser: FreqSketch.Serde[T]): Array[Byte] = {
     val items = counts.toArray.sortBy(_._1.toString) // canonical order
     val payload = items.map { case (it, _) => ser.toBytes(it) }
@@ -140,6 +174,16 @@ final class FreqSketch[T] private (
 object FreqSketch {
   final val FamilyFreq: Byte = 10 // family id convention (internal/family.go:31-44)
   final val DefaultLgMaxMapSize = 10
+
+  /** DS-format item writers for the two reference-tested item types. */
+  val DsLongWriter: (ByteBuffer, Long) => Unit = (bb, v) => bb.putLong(v)
+  val DsLongSize: Long => Int = _ => 8
+  val DsStringWriter: (ByteBuffer, String) => Unit = (bb, s) => {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    bb.putInt(b.length); bb.put(b)
+  }
+  val DsStringSize: String => Int =
+    s => 4 + s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
 
   trait Serde[T] extends Serializable {
     def toBytes(t: T): Array[Byte]

@@ -272,31 +272,65 @@ final class HllSketch private (
   def copy(): HllSketch = HllSketch.deserialize(serialize())
 
   /** Export as an Apache DataSketches-format compact image (write-side
-    * cross-language compat): sparse → SET-mode coupon image, dense →
-    * HLL-mode HLL8 image with recomputed curMin/numAtCurMin and split
-    * KxQ0/KxQ1. Round-trips through interop.DataSketchesHll.read and is
-    * readable by the Java/C++/Go libraries (layouts per
-    * hll/preamble_utils.go:27-90, hll/to_slice_impl.go:25-168). */
-  def toDataSketchesImage: Array[Byte] = {
+    * cross-language compat), mirroring upstream mode selection:
+    *  - ≤ 8 coupons → LIST image (the reference libraries reject SET mode
+    *    for lgK ≤ 7 — coupon_hash_set.go:198 requires lgConfigK > 7 — and
+    *    upstream keeps small sketches in LIST mode anyway);
+    *  - more coupons with lgK > 7 → SET image;
+    *  - more coupons with lgK ≤ 7 → densified first (upstream promotes
+    *    LIST straight to HLL below lgK 8), emitted as an HLL image;
+    *  - dense → HLL image in the requested target encoding (HLL8 default;
+    *    HLL4 = nibbles + curMin offset + aux exception map, HLL6 = 6-bit
+    *    packing — hll/to_slice_impl.go:108-168, hll/hll_4array.go:128-175,
+    *    hll/hll_6array.go:144-171) with recomputed curMin/numAtCurMin and
+    *    split KxQ0/KxQ1.
+    * Round-trips through interop.DataSketchesHll.read and is readable by
+    * the Java/C++/Go libraries (layouts per hll/preamble_utils.go:27-90). */
+  def toDataSketchesImage: Array[Byte] = toDataSketchesImage(HllSketch.TgtHll8)
+
+  def toDataSketchesImage(tgtType: Int): Array[Byte] = {
+    require(tgtType >= 0 && tgtType <= 2, s"tgtType must be 0 (HLL4), 1 (HLL6) or 2 (HLL8)")
     val emptyFlag = 4; val compactFlag = 8; val oooFlag = 16
+    val ListCap = 8 // upstream LIST capacity before SET/HLL promotion
     if (!isDense) {
       val coupons = new Array[Int](sparse.size)
       val it = sparse.iterator()
       var i = 0
       while (it.hasNext) { coupons(i) = it.next(); i += 1 }
       java.util.Arrays.sort(coupons)
-      val bb = ByteBuffer.allocate(12 + 4 * coupons.length).order(ByteOrder.LITTLE_ENDIAN)
-      bb.put(3.toByte)  // preInts (SET)
-      bb.put(1.toByte)  // serVer
-      bb.put(FamilyHll)
-      bb.put(lgK.toByte)
-      bb.put(5.toByte)  // lgArr (informational for compact images)
-      bb.put((compactFlag | (if (coupons.isEmpty) emptyFlag else 0)).toByte)
-      bb.put(0.toByte)  // unused (set count lives at int 8)
-      bb.put(((2 << 2) | 1).toByte) // modeByte: tgt HLL8, curMode SET
-      bb.putInt(coupons.length)
-      coupons.foreach(bb.putInt)
-      bb.array()
+      if (coupons.length <= ListCap) {
+        // LIST image: preInts 2, count byte at offset 6
+        val bb = ByteBuffer.allocate(8 + 4 * coupons.length).order(ByteOrder.LITTLE_ENDIAN)
+        bb.put(2.toByte)  // preInts (LIST)
+        bb.put(1.toByte)  // serVer
+        bb.put(FamilyHll)
+        bb.put(lgK.toByte)
+        bb.put(3.toByte)  // lgArr (LIST starts at 8 slots)
+        bb.put((compactFlag | (if (coupons.isEmpty) emptyFlag else 0)).toByte)
+        bb.put(coupons.length.toByte)
+        bb.put(((tgtType << 2) | 0).toByte) // modeByte: curMode LIST
+        coupons.foreach(bb.putInt)
+        bb.array()
+      } else if (lgK > 7) {
+        val bb = ByteBuffer.allocate(12 + 4 * coupons.length).order(ByteOrder.LITTLE_ENDIAN)
+        bb.put(3.toByte)  // preInts (SET)
+        bb.put(1.toByte)  // serVer
+        bb.put(FamilyHll)
+        bb.put(lgK.toByte)
+        bb.put(5.toByte)  // lgArr (informational for compact images)
+        bb.put(compactFlag.toByte)
+        bb.put(0.toByte)  // unused (set count lives at int 8)
+        bb.put(((tgtType << 2) | 1).toByte) // modeByte: curMode SET
+        bb.putInt(coupons.length)
+        coupons.foreach(bb.putInt)
+        bb.array()
+      } else {
+        // lgK ≤ 7 with an over-LIST coupon count: no legal sparse image —
+        // densify a copy (upstream LIST→HLL promotion) and emit HLL mode
+        val dense = copy()
+        dense.promote()
+        dense.toDataSketchesImage(tgtType)
+      }
     } else {
       var curMin = 64
       var numAtCurMin = 0
@@ -314,7 +348,42 @@ final class HllSketch private (
         }
         i += 1
       }
-      val bb = ByteBuffer.allocate(40 + k).order(ByteOrder.LITTLE_ENDIAN)
+      // register payload in the target encoding
+      val (arr, auxPairs) = tgtType match {
+        case HllSketch.TgtHll8 => (regs.clone(), Array.emptyIntArray)
+        case HllSketch.TgtHll6 =>
+          val out = new Array[Byte](((k * 3) >>> 2) + 1)
+          var s = 0
+          while (s < k) {
+            val v = regs(s) & 0x3f
+            val startBit = s * 6
+            val byteIdx = startBit >>> 3
+            val shift = startBit & 7
+            val cur = (out(byteIdx) & 0xff) | ((out(byteIdx + 1) & 0xff) << 8)
+            val merged = cur | (v << shift)
+            out(byteIdx) = (merged & 0xff).toByte
+            out(byteIdx + 1) = ((merged >>> 8) & 0xff).toByte
+            s += 1
+          }
+          (out, Array.emptyIntArray)
+        case _ => // HLL4: nibble = v - curMin capped at 14; 15 → aux holds v
+          val out = new Array[Byte](k >>> 1)
+          val aux = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var s = 0
+          while (s < k) {
+            val v = regs(s) & 0xff
+            val rel = v - curMin
+            val nib =
+              if (rel < 15) rel
+              else { aux += ((v << 26) | (s & ((1 << 26) - 1))); 15 }
+            if ((s & 1) == 0) out(s >>> 1) = (out(s >>> 1) | nib).toByte
+            else out(s >>> 1) = (out(s >>> 1) | (nib << 4)).toByte
+            s += 1
+          }
+          (out, aux.toArray)
+      }
+      val bb = ByteBuffer.allocate(40 + arr.length + 4 * auxPairs.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
       bb.put(10.toByte) // preInts (HLL)
       bb.put(1.toByte)  // serVer
       bb.put(FamilyHll)
@@ -322,13 +391,14 @@ final class HllSketch private (
       bb.put(0.toByte)  // lgArr (unused for HLL mode)
       bb.put((compactFlag | (if (outOfOrder) oooFlag else 0)).toByte)
       bb.put(curMin.toByte)
-      bb.put(((2 << 2) | 2).toByte) // modeByte: tgt HLL8, curMode HLL
+      bb.put(((tgtType << 2) | 2).toByte) // modeByte: curMode HLL
       bb.putDouble(if (outOfOrder) 0.0 else hipAccum)
       bb.putDouble(kxq0)
       bb.putDouble(kxq1)
       bb.putInt(numAtCurMin)
-      bb.putInt(0)      // auxCount (HLL8 has no aux map)
-      bb.put(regs)
+      bb.putInt(auxPairs.length)
+      bb.put(arr)
+      auxPairs.foreach(bb.putInt)
       bb.array()
     }
   }
@@ -338,6 +408,11 @@ object HllSketch {
   final val Magic: Byte = 'G'
   final val FamilyHll: Byte = 7
   final val DefaultLgK = 12
+
+  // DataSketches target-encoding ids (TgtHllType convention)
+  final val TgtHll4 = 0
+  final val TgtHll6 = 1
+  final val TgtHll8 = 2
 
   // coupon layout: [valueShift..] 6-bit value | 26-bit slot address
   final val SlotMask26: Int = (1 << 26) - 1

@@ -284,6 +284,59 @@ final class KllItemsSketch[T] private (
 
   // ---- serde ----------------------------------------------------------------
 
+  /** Export as an Apache DataSketches-format compact KLL items image —
+    * the write-side half of the cross-language serde (read side:
+    * interop.DataSketchesKll). Structures per kll/preamble_utils.go:22-54
+    * and kll/items_sketch.go:332-443 (ToSlice):
+    *  - COMPACT_EMPTY: 8-byte preamble only (serVer 1, empty flag);
+    *  - COMPACT_SINGLE: 8-byte preamble (serVer 2, single flag) + item;
+    *  - COMPACT_FULL: 20-byte preamble + numLevels uint32 level offsets
+    *    (final boundary implied) + min + max + retained items level-major
+    *    (level 0 sorted), weight 2^level.
+    * Items serialize through KllItemOps (strings: 4-byte LE length +
+    * UTF-8 — the layout of the reference's kll_string_*.sk fixtures). */
+  def toDataSketchesImage: Array[Byte] = {
+    val FamilyKll = 15
+    val M = KllSketch.M
+    if (isEmpty) {
+      val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(2.toByte); bb.put(1.toByte); bb.put(FamilyKll.toByte)
+      bb.put(1.toByte) // flags: empty
+      bb.putShort(k.toShort); bb.put(M.toByte); bb.put(0.toByte)
+      return bb.array()
+    }
+    if (_n == 1) {
+      val item = at(levels(0))
+      val bb = ByteBuffer.allocate(8 + ops.sizeOf(item)).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(2.toByte); bb.put(2.toByte) // serVer 2 for SINGLE
+      bb.put(FamilyKll.toByte)
+      bb.put(4.toByte) // flags: single item
+      bb.putShort(k.toShort); bb.put(M.toByte); bb.put(0.toByte)
+      ops.write(bb, item)
+      return bb.array()
+    }
+    sortLevel0()
+    var itemBytes = 0
+    var i = levels(0)
+    while (i < levels(numLevels)) { itemBytes += ops.sizeOf(at(i)); i += 1 }
+    val bb = ByteBuffer.allocate(20 + 4 * numLevels +
+      ops.sizeOf(_minItem.get) + ops.sizeOf(_maxItem.get) + itemBytes)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(5.toByte); bb.put(1.toByte); bb.put(FamilyKll.toByte)
+    bb.put(0.toByte) // flags
+    bb.putShort(k.toShort); bb.put(M.toByte); bb.put(0.toByte)
+    bb.putLong(_n)
+    bb.putShort(k.toShort) // minK (merges require equal k here)
+    bb.put(numLevels.toByte); bb.put(0.toByte)
+    var h = 0
+    while (h < numLevels) { bb.putInt(levels(h) - levels(0)); h += 1 }
+    ops.write(bb, _minItem.get)
+    ops.write(bb, _maxItem.get)
+    i = levels(0)
+    while (i < levels(numLevels)) { ops.write(bb, at(i)); i += 1 }
+    bb.array()
+  }
+
   def serialize(): Array[Byte] = {
     sortLevel0()
     val retained = numRetained

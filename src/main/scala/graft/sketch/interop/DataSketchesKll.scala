@@ -45,6 +45,47 @@ object DataSketchesKll {
     }
   }
 
+  /** Write-side: emit a StringImage back in the reference layout
+    * (COMPACT_EMPTY / COMPACT_SINGLE / COMPACT_FULL) — state-preserving,
+    * so read(write(img)) reproduces the exact (item, weight) multiset.
+    * KllItemsSketch.toDataSketchesImage is the engine-sketch export; this
+    * writer round-trips externally-produced images without replay. */
+  def writeString(img: StringImage): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def strBytes(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def put(bb: ByteBuffer, s: String): Unit = {
+      val b = strBytes(s); bb.putInt(b.length); bb.put(b)
+    }
+    if (img.isEmpty) {
+      val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(2.toByte); bb.put(1.toByte); bb.put(15.toByte); bb.put(1.toByte)
+      bb.putShort(img.k.toShort); bb.put(img.m.toByte); bb.put(0.toByte)
+      return bb.array()
+    }
+    if (img.n == 1) {
+      val item = img.items(0)
+      val bb = ByteBuffer.allocate(8 + 4 + strBytes(item).length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(2.toByte); bb.put(2.toByte); bb.put(15.toByte); bb.put(4.toByte)
+      bb.putShort(img.k.toShort); bb.put(img.m.toByte); bb.put(0.toByte)
+      put(bb, item)
+      return bb.array()
+    }
+    val itemBytes = img.items.map(s => 4 + strBytes(s).length).sum
+    val minMax = 8 + strBytes(img.minItem.get).length + strBytes(img.maxItem.get).length
+    val bb = ByteBuffer.allocate(20 + 4 * img.numLevels + minMax + itemBytes)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(5.toByte); bb.put(1.toByte); bb.put(15.toByte); bb.put(0.toByte)
+    bb.putShort(img.k.toShort); bb.put(img.m.toByte); bb.put(0.toByte)
+    bb.putLong(img.n)
+    bb.putShort(img.minK.toShort)
+    bb.put(img.numLevels.toByte); bb.put(0.toByte)
+    (0 until img.numLevels).foreach(i => bb.putInt(img.levels(i)))
+    put(bb, img.minItem.get); put(bb, img.maxItem.get)
+    img.items.foreach(put(bb, _))
+    bb.array()
+  }
+
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def u16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
   private def i32(b: Array[Byte], i: Int): Int =
