@@ -633,7 +633,24 @@ object SparkEntry {
     })
   )
 
-  /** Shared DuckDB fragments for the near-dup oracles. */
+  /** Shared DuckDB fragments for the near-dup oracles.
+    *
+    * DOCUMENTED DIVERGENCE (ADVICE r2): the pipeline's verification
+    * applies gates the SQL oracle does not model —
+    *  - the length-adaptive LCS gate (verifyPairs drops high-Jaccard /
+    *    low-LCS pairs like VerifyGatesSpec's block-shuffled construction),
+    *  - q09's fingerprint-overlap prefilter (tier-1 containment >= 0.6).
+    * The oracle is pure 8-gram Jaccard >= 0.8. The compare is exact on the
+    * driver corpora because (measured, rechecked each round)
+    *  - every true pair there is a near-verbatim duplicate: LCS >>
+    *    min(tauLcs, len/2) and winnow containment exactly 1.0, so neither
+    *    gate fires on an oracle pair;
+    *  - both gates only REMOVE pairs, so they can never add a row the
+    *    oracle lacks.
+    * On adversarial corpora (block-shuffled dups) the pipeline's answer
+    * deviates from the plain-Jaccard oracle BY DESIGN — the north star
+    * mandates the suffix-array LCS check; VerifyGatesSpec pins that
+    * behavior. */
   private val gramPairsOver: String => String = docsExpr =>
     s"""WITH RECURSIVE d0 AS ($docsExpr),
        g AS (

@@ -21,6 +21,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release blocks persisted inside the query closure (docs/sigs/pair
+      // streams) — they are consumed lazily by the written plan, so the
+      // closures cannot unpersist them themselves; without this, 29
+      // sequential queries accumulate every pipeline's cache
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
