@@ -630,6 +630,76 @@ object SparkEntry {
           coalesce(bool_and(when(col("est").isNotNull && col("exact").isNotNull,
             col("lb") <= col("exact") && col("exact") <= col("ub"))
             .otherwise(lit(true))), lit(false)).as("bounds_ok"))
+    }),
+
+    // P1/P11 catalog seam under the driver: the full pipeline checkpointed
+    // through CatalogTableIO (DataFrameWriterV2 / spark.table — the
+    // config-swap Iceberg path), assignments read BACK FROM THE CATALOG and
+    // matched row-for-row against DuckDB's exact recursive-CTE clustering;
+    // a second runner must resume with 0 stages computed, and the appended
+    // metrics table must carry every stage (catalog_ok folds both).
+    "q30_catalog_tableio" -> ((s, dir) => {
+      import graft.pipeline.CatalogTableIO
+      val cfg = DedupConfig()
+      val ns = "graft_q30"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $ns")
+      s.sql(s"SHOW TABLES IN $ns").collect()
+        .foreach(r => s.sql(s"DROP TABLE IF EXISTS $ns.${r.getString(1)}"))
+      // the in-memory catalog forgets tables across sessions but their
+      // managed warehouse locations persist — remove them for hermetic runs
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), s"$ns.db")
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.delete(wh, true)
+      val io = new CatalogTableIO(ns)
+      val turnsDf = docTranscripts(s, dir)
+      new CheckpointedDedup(io, cfg, "q30").run(turnsDf).count()
+      val again = new CheckpointedDedup(io, cfg, "q30")
+      again.run(turnsDf).count()
+      val resumeZero = again.computedStages.isEmpty
+      val metricsStages = io.read(s, "q30/metrics")
+        .select(col("stage")).distinct().count()
+      // all 6 pipeline stages must have lineage rows (P12) and tables (P11)
+      val ok = resumeZero && metricsStages == 6 && io.exists(s, "q30/docs")
+      io.read(s, "q30/cluster_assignments")
+        .select(col("conv_id"), col("cluster_id"), lit(ok).as("catalog_ok"))
+        .orderBy(col("conv_id"))
+    }),
+
+    // F5→P9 salt advisor under the driver: the one-pass mergeable
+    // frequency sketch over band keys must flag a planted hot bucket
+    // (no-false-negatives contract) and recommend a salt factor that
+    // bounds it at maxBucketSize; on the real corpus every TRUE
+    // over-threshold bucket must appear in the advice (vacuous or not,
+    // it is the exact NFN check). n_docs anchors the row in DuckDB.
+    "q31_salt_advisor" -> ((s, dir) => {
+      import graft.ops.SkewTools
+      val cfg = DedupConfig()
+      // planted skew: one key with exactly 5000 occurrences among 2000
+      // singletons — forces purges at lgMaxMapSize=10 (2001 distinct keys)
+      val planted = s.range(5000).select(lit("HOT").as("band_key"))
+        .unionByName(s.range(2000)
+          .select(concat(lit("key_"), col("id")).as("band_key")))
+      val adv = SkewTools.recommendSalt(planted, cfg, lgMaxMapSize = 10)
+      val plantedFound = adv.hotKeys.exists(_._1 == "HOT")
+      val saltBoundsHot =
+        adv.recommendedSalt.toLong * cfg.maxBucketSize >= 5000L
+      // real corpus: exact bucket sizes vs the advice's hot list
+      val docs = docsView(s, dir)
+      val bands = DedupPipeline.bands(
+        DedupPipeline.signatures(docs, cfg)
+          .select(col("conv_id"), col("minhash")), cfg)
+      val realAdv = SkewTools.recommendSalt(bands, cfg)
+      val realHot = realAdv.hotKeys.map(_._1).toSet
+      val missedHot = bands.groupBy(col("band_key"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") > cfg.maxBucketSize)
+        .collect().map(_.getString(0)).count(k => !realHot.contains(k))
+      docs.agg(count(lit(1)).as("n_docs"))
+        .select(col("n_docs"),
+          lit(plantedFound).as("planted_hot_found"),
+          lit(saltBoundsHot).as("planted_salt_ok"),
+          lit(missedHot == 0).as("real_nfn_ok"))
     })
   )
 
@@ -896,6 +966,22 @@ object SparkEntry {
       "SELECT COUNT(*) AS n_docs, TRUE AS streaming_equals_batch FROM documents",
     "q29_sketch_freq_purge" ->
       """SELECT COUNT(DISTINCT user_id) AS n_users, TRUE AS purged,
-         TRUE AS nfn_ok, TRUE AS bounds_ok FROM events"""
+         TRUE AS nfn_ok, TRUE AS bounds_ok FROM events""",
+    // assignments READ BACK FROM THE CATALOG must equal the exact
+    // recursive-CTE clustering over the reconstructed docs (same ground
+    // truth as q12); catalog_ok folds resume-zero-stages + 6-stage lineage
+    "q30_catalog_tableio" ->
+      (gramPairsOver(rebuiltDocs) +
+        """,
+       edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+       cc(node, lbl) AS (
+         SELECT id, id FROM d0
+         UNION
+         SELECT e.v, cc.lbl FROM cc JOIN edges e ON cc.node = e.u)
+       SELECT node AS conv_id, min(lbl) AS cluster_id, TRUE AS catalog_ok
+       FROM cc GROUP BY node ORDER BY conv_id"""),
+    "q31_salt_advisor" ->
+      """SELECT COUNT(*) AS n_docs, TRUE AS planted_hot_found,
+         TRUE AS planted_salt_ok, TRUE AS real_nfn_ok FROM documents"""
   )
 }

@@ -51,3 +51,49 @@ case class HllFromDs(child: Expression)
   override protected def withNewChildInternal(c: Expression): HllFromDs =
     copy(child = c)
 }
+
+/** kll_to_ds(binary) — export an engine KLL doubles image (kll_sketch_agg
+  * output) as an Apache DataSketches KllDoublesSketch compact image, so a
+  * Spark job can feed quantile sketches to existing Java/C++ consumers
+  * (the write-side half of the doubles interop; strings go through
+  * KllItemsSketch.toDataSketchesImage). */
+case class KllToDs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "kll_to_ds"
+
+  override def nullSafeEval(v: Any): Any =
+    graft.sketch.KllSketch.deserialize(v.asInstanceOf[Array[Byte]]).toDataSketchesImage
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.sketch.KllSketch.deserialize($c).toDataSketchesImage()")
+
+  override protected def withNewChildInternal(c: Expression): KllToDs =
+    copy(child = c)
+}
+
+/** kll_from_ds(binary) — import an Apache DataSketches KllDoublesSketch
+  * compact image into the engine's own image, so externally-built quantile
+  * sketches flow into kll_quantiles / kll_rank / kll_merge like any
+  * Spark-built sketch. Exact state transfer, no replay. */
+case class KllFromDs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "kll_from_ds"
+
+  override def nullSafeEval(v: Any): Any =
+    graft.sketch.interop.DataSketchesKll.readDoubles(v.asInstanceOf[Array[Byte]])
+      .toEngine.serialize()
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.sketch.interop.DataSketchesKll.readDoubles($c).toEngine().serialize()")
+
+  override protected def withNewChildInternal(c: Expression): KllFromDs =
+    copy(child = c)
+}

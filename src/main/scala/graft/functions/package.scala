@@ -92,6 +92,14 @@ package object functions {
     * image (feed into hll_merge_agg / hll_estimate / hll_bounds). */
   def hll_from_ds(col: Column): Column = c(HllFromDs(e(col)))
 
+  /** Export an engine KLL doubles image as an Apache DataSketches
+    * KllDoublesSketch compact image (write-side doubles interop). */
+  def kll_to_ds(col: Column): Column = c(KllToDs(e(col)))
+
+  /** Import a DataSketches KllDoublesSketch compact image into the
+    * engine's image (feed into kll_quantiles / kll_rank / kll_cdf). */
+  def kll_from_ds(col: Column): Column = c(KllFromDs(e(col)))
+
   def freq_sketch_agg(col: Column, lgMaxMapSize: Int = FreqSketch.DefaultLgMaxMapSize): Column =
     c(FreqSketchAgg(e(col), lgMaxMapSize).toAggregateExpression())
 

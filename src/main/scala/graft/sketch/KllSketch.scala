@@ -314,6 +314,51 @@ final class KllSketch private (
 
   // ---- serialize -----------------------------------------------------------
 
+  /** Export in the Apache DataSketches KllDoublesSketch compact layout
+    * (same preamble as the items format the golden fixtures use,
+    * kll/preamble_utils.go:22-54, with fixed 8-byte LE doubles as items
+    * and min/max): COMPACT_EMPTY (8 B), COMPACT_SINGLE (8 B + one
+    * double), COMPACT_FULL (20 B preamble + numLevels uint32 offsets +
+    * min + max + retained doubles, level i carrying weight 2^i). The
+    * reference ships no doubles fixtures (only kll_string_*), so parity
+    * is proven by writer→reader round-trip + preamble-constant checks
+    * (KllDoublesInteropSpec) rather than cross-language goldens. */
+  def toDataSketchesImage: Array[Byte] = {
+    if (isEmpty) {
+      val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(2.toByte); bb.put(1.toByte); bb.put(FamilyKll)
+      bb.put(1.toByte) // flags: empty
+      bb.putShort(k.toShort); bb.put(M.toByte); bb.put(0.toByte)
+      return bb.array()
+    }
+    if (_n == 1) {
+      val bb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put(2.toByte); bb.put(2.toByte) // serVer 2 for SINGLE
+      bb.put(FamilyKll)
+      bb.put(4.toByte) // flags: single item
+      bb.putShort(k.toShort); bb.put(M.toByte); bb.put(0.toByte)
+      bb.putDouble(items(levels(0)))
+      return bb.array()
+    }
+    sortLevel0()
+    val retained = numRetained
+    val bb = ByteBuffer.allocate(20 + 4 * numLevels + 16 + 8 * retained)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(5.toByte); bb.put(1.toByte); bb.put(FamilyKll)
+    bb.put(2.toByte) // flags: level zero sorted (we just sorted it)
+    bb.putShort(k.toShort); bb.put(M.toByte); bb.put(0.toByte)
+    bb.putLong(_n)
+    bb.putShort(k.toShort) // minK (equal-k merges only, so minK == k)
+    bb.put(numLevels.toByte); bb.put(0.toByte)
+    var h = 0
+    while (h < numLevels) { bb.putInt(levels(h) - levels(0)); h += 1 }
+    bb.putDouble(_minItem)
+    bb.putDouble(_maxItem)
+    var i = levels(0)
+    while (i < levels(numLevels)) { bb.putDouble(items(i)); i += 1 }
+    bb.array()
+  }
+
   def serialize(): Array[Byte] = {
     sortLevel0()
     val retained = numRetained
@@ -379,6 +424,25 @@ object KllSketch {
     while (i < retained) { items(shift + i) = bb.getDouble(); i += 1 }
     val sk = new KllSketch(k, items, levels, numLevels, n, minI, maxI, false)
     sk
+  }
+
+  /** Exact state transfer from an externally-read image: items are
+    * level-major with rebased (base-0) levels offsets of length
+    * numLevels+1. Used by the DataSketches doubles-image importer. */
+  private[sketch] def fromParts(k: Int, n: Long, numLevels: Int,
+                                rebasedLevels: Array[Int],
+                                minItem: Double, maxItem: Double,
+                                retainedItems: Array[Double],
+                                level0Sorted: Boolean): KllSketch = {
+    val retained = rebasedLevels(numLevels)
+    require(retained == retainedItems.length,
+      s"levels end $retained != retained ${retainedItems.length}")
+    val cap = math.max(totalCapacity(k, numLevels), retained)
+    val shift = cap - retained
+    val items = new Array[Double](cap)
+    System.arraycopy(retainedItems, 0, items, shift, retained)
+    new KllSketch(k, items, rebasedLevels.map(_ + shift), numLevels, n,
+      minItem, maxItem, level0Sorted)
   }
 
   private[sketch] def requireSorted(a: Array[Double]): Unit = {

@@ -147,4 +147,78 @@ object DataSketchesKll {
     StringImage(k, m, n, minK, numLevels, levels, Some(minItem), Some(maxItem),
       items.toArray)
   }
+
+  // ---- doubles images --------------------------------------------------
+
+  /** Parsed Apache DataSketches KllDoublesSketch compact image (same
+    * preamble as the items layout; items/min/max are 8-byte LE doubles).
+    * No doubles fixtures ship with the reference, so the contract is
+    * writer→reader round-trip parity (KllDoublesInteropSpec). */
+  final case class DoubleImage(
+      k: Int, m: Int, n: Long, minK: Int, numLevels: Int,
+      levels: Array[Int],          // numLevels+1 offsets, rebased to 0
+      minItem: Double, maxItem: Double,
+      items: Array[Double],        // retained items, level-major
+      level0Sorted: Boolean) {
+
+    def isEmpty: Boolean = n == 0
+
+    /** (item, weight) pairs; weight of level i is 2^i. */
+    def iterator: Iterator[(Double, Long)] =
+      (0 until numLevels).iterator.flatMap { lvl =>
+        (levels(lvl) until levels(lvl + 1)).iterator
+          .map(j => (items(j), 1L << lvl))
+      }
+
+    /** Exact state transfer into the engine sketch (no replay). */
+    def toEngine: graft.sketch.KllSketch =
+      graft.sketch.KllSketch.fromParts(k, n, numLevels, levels,
+        minItem, maxItem, items, level0Sorted)
+  }
+
+  private def f64(b: Array[Byte], i: Int): Double =
+    java.lang.Double.longBitsToDouble(i64(b, i))
+
+  def readDoubles(bytes: Array[Byte]): DoubleImage = {
+    val serVer = u8(bytes, 1)
+    val family = u8(bytes, 2)
+    require(family == 15, s"not a KLL image (family $family)")
+    val flags = u8(bytes, 3)
+    val empty = (flags & 1) != 0
+    val sorted = (flags & 2) != 0
+    val single = (flags & 4) != 0
+    val k = u16(bytes, 4)
+    val m = u8(bytes, 6)
+
+    if (empty) {
+      require(serVer == 1, s"empty image must have serVer 1, got $serVer")
+      return DoubleImage(k, m, 0L, k, 1, Array(0, 0),
+        Double.NaN, Double.NaN, Array.empty, level0Sorted = true)
+    }
+    if (single) {
+      require(serVer == 2, s"single-item image must have serVer 2, got $serVer")
+      val item = f64(bytes, 8)
+      return DoubleImage(k, m, 1L, k, 1, Array(0, 1), item, item,
+        Array(item), level0Sorted = true)
+    }
+    require(serVer == 1, s"full image must have serVer 1, got $serVer")
+    val n = i64(bytes, 8)
+    val minK = u16(bytes, 16)
+    val numLevels = u8(bytes, 18)
+    val rawLevels = Array.tabulate(numLevels)(i => i32(bytes, 20 + 4 * i))
+    var off = 20 + 4 * numLevels
+    val minItem = f64(bytes, off)
+    val maxItem = f64(bytes, off + 8)
+    off += 16
+    val retained = (bytes.length - off) / 8
+    val items = Array.tabulate(retained)(i => f64(bytes, off + 8 * i))
+    val base = rawLevels(0)
+    val levels = Array.tabulate(numLevels + 1) { i =>
+      if (i < numLevels) rawLevels(i) - base else retained
+    }
+    require(levels(numLevels) == retained,
+      s"levels end ${levels(numLevels)} != retained $retained")
+    DoubleImage(k, m, n, minK, numLevels, levels, minItem, maxItem, items,
+      sorted)
+  }
 }
