@@ -54,7 +54,7 @@ object SparkEntry {
     * must re-establish (turn_idx, ts) ordering. DuckDB replays the exact
     * same chunking (q12 oracle), so the e2e pipeline including doc
     * reconstruction is checkable against exact ground truth. */
-  private def docTranscripts(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def docTranscripts(s: SparkSession, dir: String): DataFrame = {
     val words = split(trim(col("text")), "\\s+")
     t(s, dir, "documents")
       .select(col("doc_id").cast("string").as("conv_id"), words.as("w"))

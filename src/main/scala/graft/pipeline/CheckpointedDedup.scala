@@ -43,7 +43,13 @@ final class CheckpointedDedup(
     }
     val sigs = stage(spark, "signatures", keyCols = Seq("conv_id"),
       rowsInOf = () => docs.count()) { () =>
+      // checkpoint only what downstream stages consume: bands need the
+      // minhash, CC needs conv_id, simhash is a cheap per-doc metric. The
+      // shingle array (~8x the text bytes) is recomputed pair-locally by
+      // verifyPairs and must NOT be materialized — at 100 TB the shingle
+      // blow-up would dominate the checkpoint footprint.
       DedupPipeline.signatures(docs, cfg)
+        .select(col("conv_id"), col("doc_len"), col("minhash"), col("simhash"))
     }
     val bands = stage(spark, "bands", keyCols = Seq("conv_id", "band_key"),
       rowsInOf = () => sigs.count()) { () =>
@@ -67,29 +73,70 @@ final class CheckpointedDedup(
   /** Read the metrics table (for tests / the resume planner). */
   def metrics(spark: SparkSession): DataFrame = io.read(spark, metricsName)
 
+  /** Stages with lineage rows at construction time — read ONCE per runner
+    * (resume used to pay a metrics-table read per stage). The per-stage
+    * table existence check stays live (cheap FS/catalog lookup, no job). */
+  private var metricsStageSet: Option[Set[String]] = None
+  private def stagesWithLineage(spark: SparkSession): Set[String] = {
+    if (metricsStageSet.isEmpty) {
+      metricsStageSet = Some(
+        if (!io.exists(spark, metricsName)) Set.empty
+        else metrics(spark).select(col("stage")).distinct()
+          .collect().map(_.getString(0)).toSet)
+    }
+    metricsStageSet.get
+  }
+
   private def stageComplete(spark: SparkSession, name: String): Boolean =
-    io.exists(spark, s"$runId/$name") &&
-      io.exists(spark, metricsName) &&
-      !metrics(spark).where(col("stage") === name).isEmpty
+    stagesWithLineage(spark).contains(name) && io.exists(spark, s"$runId/$name")
+
+  private val profile = sys.env.contains("SPARK_GRAFT_CKPT_PROFILE")
+  private def prof[A](label: String)(f: => A): A = {
+    if (!profile) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[ckpt] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+  }
+
+  /** rows_out total of the stage computed immediately before, when that
+    * stage ran in THIS call (resumed predecessors fall back to rowsInOf —
+    * a metadata-only parquet count). Chaining the totals removes one count
+    * job per stage: rows_in(stage N) == sum(rows_out(stage N-1)). */
+  private var prevRowsOut: Long = -1L
 
   private def stage(spark: SparkSession, name: String, keyCols: Seq[String],
                     rowsInOf: () => Long)(compute: () => DataFrame): DataFrame = {
-    if (stageComplete(spark, name)) {
+    if (prof(s"$name complete?")(stageComplete(spark, name))) {
+      prevRowsOut = -1L
       io.read(spark, s"$runId/$name")
     } else {
       val out = compute()
-      io.write(out, s"$runId/$name")
+      prof(s"$name write")(io.write(out, s"$runId/$name"))
       computedStages = computedStages :+ name
       val persisted = io.read(spark, s"$runId/$name")
-      val rowsIn = rowsInOf()
-      val lineage = partitionLineage(persisted, keyCols)
+      val rowsIn = prof(s"$name rowsIn")(
+        if (prevRowsOut >= 0) prevRowsOut else rowsInOf())
+      // collect the per-partition lineage (<= #partitions small rows): one
+      // aggregation job yields BOTH the metrics rows and the rows_out
+      // total the next stage needs; the append then writes driver-local
+      // data with no second pass over the stage output
+      val lineageLocal = prof(s"$name lineage")(
+        partitionLineage(persisted, keyCols).collect())
+      prevRowsOut = lineageLocal.map(_.getLong(1)).sum
+      val lineage = spark.createDataFrame(
+          java.util.Arrays.asList(lineageLocal: _*),
+          lineageLocal.headOption.map(_.schema)
+            .getOrElse(partitionLineage(persisted, keyCols).schema))
         .withColumn("run_id", lit(runId))
         .withColumn("stage", lit(name))
         .withColumn("rows_in", lit(rowsIn))
         .withColumn("ts", current_timestamp())
         .select("run_id", "stage", "partition_id", "rows_in", "rows_out",
           "checksum", "hll_sketch", "ts")
-      io.append(lineage, metricsName)
+      prof(s"$name append")(io.append(lineage, metricsName))
       persisted
     }
   }
