@@ -24,6 +24,11 @@ package object functions {
   def lcs_length(a: Column, b: Column): Column =
     c(LcsLengthExpr(e(a), e(b)))
 
+  /** Gate form: common substring of length ≥ minRun exists (the verify
+    * hot-loop variant; see Lcs.hasCommonRun). */
+  def lcs_at_least(a: Column, b: Column, minRun: Column): Column =
+    c(LcsAtLeastExpr(e(a), e(b), e(minRun)))
+
   /** Fused pair verification: struct(jaccard, simhash_dist) from raw texts. */
   def pair_verify(docA: Column, docB: Column, shingleK: Int, seed: Long): Column =
     c(PairVerify(e(docA), e(docB), shingleK, seed))

@@ -162,9 +162,10 @@ object DedupPipeline {
   }
 
   /** P7: verify candidate pairs with exact Jaccard (the oracle-parity
-    * gate) then the suffix-automaton LCS check on survivors (north_star:
-    * "exact Jaccard plus suffix-array longest-common-substring checks").
-    * Returns verified_pairs(a, b, jaccard, lcs_len, simhash_dist,
+    * gate) then the LCS check on survivors (north_star: "exact Jaccard
+    * plus suffix-array longest-common-substring checks" — applied in
+    * decision form, see Lcs.hasCommonRun; Lcs.lcsLength keeps the exact
+    * automaton). Returns verified_pairs(a, b, jaccard, simhash_dist,
     * simhash_ok).
     *
     * Gate semantics:
@@ -192,8 +193,8 @@ object DedupPipeline {
     *  3. the join carries RAW TEXT, not precomputed shingle arrays (the
     *     shingle set is ~8x the text size); pair_verify recomputes both
     *     shingle sets pair-locally in one fused expression (Jaccard +
-    *     SimHash distance), and the O(n) suffix-automaton LCS runs only on
-    *     Jaccard-gate survivors.
+    *     SimHash distance), and the O(n) rolling-hash LCS decision runs
+    *     only on Jaccard-gate survivors.
     */
   def verifyPairs(candPairs: DataFrame, docs: DataFrame,
                   cfg: DedupConfig): DataFrame = {
@@ -217,11 +218,14 @@ object DedupPipeline {
         graft.functions.pair_verify(col("doc_a"), col("doc_b"), cfg.shingleK, cfg.seed))
       .withColumn("jaccard", col("pv.jaccard"))
       .where(col("jaccard") >= lit(cfg.tauJaccard)) // the oracle-parity gate
-      .withColumn("lcs_len", graft.functions.lcs_length(col("doc_a"), col("doc_b")))
-      .where(col("lcs_len") >= least( // north-star LCS check, length-adaptive
-        lit(cfg.tauLcs),
-        (least(length(col("doc_a")), length(col("doc_b"))) / 2).cast("int")))
-      .select(col("a"), col("b"), col("jaccard"), col("lcs_len"),
+      // north-star LCS check, length-adaptive: common run ≥ min(tauLcs,
+      // minLen/2) must exist. Decision form (Lcs.hasCommonRun) — the exact
+      // automaton cost ~7ms/pair and its allocation churn made verify the
+      // worst-scaling stage at 32 cores (GC contention).
+      .where(graft.functions.lcs_at_least(col("doc_a"), col("doc_b"),
+        least(lit(cfg.tauLcs),
+          (least(length(col("doc_a")), length(col("doc_b"))) / 2).cast("int"))))
+      .select(col("a"), col("b"), col("jaccard"),
         col("pv.simhash_dist").as("simhash_dist"),
         (col("pv.simhash_dist") <= lit(cfg.simhashMaxDist)).as("simhash_ok"))
   }

@@ -161,6 +161,34 @@ class LcsSpec extends AnyFunSuite {
     val b = "xx" + ("spark" * 1500) + "yy"
     assert(Lcs.lcsLength(a, b) === 7500)
   }
+
+  test("hasCommonRun agrees with lcsLength threshold on random strings") {
+    val rnd = new java.util.Random(7)
+    for (_ <- 1 to 200) {
+      val a = (1 to (5 + rnd.nextInt(120))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      val b = (1 to (5 + rnd.nextInt(120))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      val exact = Lcs.lcsLength(a, b)
+      for (l <- Seq(1, 2, 3, exact - 1, exact, exact + 1, 64) if l >= 0) {
+        assert(Lcs.hasCommonRun(a, b, l) === (exact >= l),
+          s"a=$a b=$b L=$l exact=$exact")
+      }
+    }
+  }
+
+  test("hasCommonRun edges: empty, zero threshold, repeated chars, long runs") {
+    assert(Lcs.hasCommonRun("", "", 0))
+    assert(!Lcs.hasCommonRun("", "abc", 1))
+    assert(Lcs.hasCommonRun("abc", "xbcy", 2))
+    assert(!Lcs.hasCommonRun("abc", "xbcy", 3))
+    // degenerate repeated-char inputs: dedup keeps the probe clusters small
+    val aa = "a" * 5000
+    assert(Lcs.hasCommonRun(aa, "b" * 4000 + "a" * 64, 64))
+    assert(!Lcs.hasCommonRun(aa, "b" * 4000 + "a" * 63, 64))
+    // the verify-gate shape: 64-char runs inside ~1KB docs
+    val doc = ("the quick brown fox " * 60).trim
+    assert(Lcs.hasCommonRun(doc, "zzz" + doc.substring(100, 164) + "qqq", 64))
+    assert(!Lcs.hasCommonRun(doc, doc.substring(100, 163).reverse, 64))
+  }
 }
 
 class UnionFindSpec extends AnyFunSuite {
