@@ -115,6 +115,37 @@ object DedupPipeline {
     * boilerplate bucket is bounded at bucket/S — and connectivity across
     * sub-buckets is restored by chaining the S sub-bucket minima in a
     * second, tiny window pass (≤ S rows per band key). */
+  /** Chain+star edges generated map-side from a SORTED bucket member
+    * array (no window sort): chain = adjacent members, star = bucket min
+    * to every member beyond the second (the chain already links min to
+    * member 2). Identical edge set to the windowed chainStar. */
+  private[pipeline] def chainStarArrayEdges(ms: Column): Column = concat(
+    filter(zip_with(ms, slice(ms, lit(2), greatest(size(ms) - 1, lit(1))),
+      (a, b) => struct(a.as("a"), b.as("b"))), p => p.getField("b").isNotNull),
+    transform(slice(ms, lit(3), greatest(size(ms) - 2, lit(1))),
+      y => struct(element_at(ms, 1).as("a"), y.as("b"))))
+
+  /** A/B alternative to candidatePairs (unsalted path): hash-aggregate
+    * per-bucket sorted member arrays, then emit chain+star edges
+    * map-side — replaces the global (band_key, conv_id) window SORT of
+    * the 9.6M-row band stream with a hash aggregation. Bucket arrays are
+    * materialized per key, so this variant is for salt-bounded/advised
+    * streams (the windowed form streams hot buckets in O(1) memory).
+    *
+    * MEASURED (graft.tools.CandAB, 300k convs, identical 110,344-pair
+    * output, empty symmetric difference): window 3.11 s / agg 3.25 s at
+    * 32 cores, window 4.77 s / agg 5.74 s at 8 — the windowed form wins
+    * at both widths AND has the better skew story, so it stays the
+    * production path; this one remains as the measured alternative. */
+  private[graft] def candidatePairsAgg(bands: DataFrame, cfg: DedupConfig): DataFrame = {
+    bands.groupBy(col("band_key"))
+      .agg(sort_array(collect_list(col("conv_id"))).as("ms"))
+      .where(size(col("ms")) >= 2)
+      .select(explode(chainStarArrayEdges(col("ms"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .distinct()
+  }
+
   def candidatePairs(bands: DataFrame, cfg: DedupConfig): DataFrame = {
     val salted = if (cfg.bandSalt > 1) {
       bands.withColumn("salt", pmod(xxhash64(col("conv_id")), lit(cfg.bandSalt)))

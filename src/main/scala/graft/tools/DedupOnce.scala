@@ -30,7 +30,8 @@ object DedupOnce {
       // 81.0s vs 72.6s for the identical 300k-conv run); 16MB restores scan
       // parallelism at both widths. Production multi-TB tables have
       // thousands of files and keep the default.
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT", "16m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
