@@ -208,7 +208,12 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sigs = DedupPipeline.signatures(docs, cfg)
       val cand = DedupPipeline.candidatePairs(DedupPipeline.bands(sigs, cfg), cfg)
-      DedupPipeline.verifyPairs(cand, docs, cfg)
+      val verified = DedupPipeline.verifyPairs(cand, docs, cfg)
+      // cluster closure makes the pair listing STRUCTURALLY complete
+      // (direct chain+star pairs cover a 4+-member bucket only
+      // probabilistically — one sf0.1 pair fell through under a minhash
+      // reseed; see completeNearDupPairs doc)
+      DedupPipeline.completeNearDupPairs(verified, docs, cfg)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("a"), col("b"))
     }),

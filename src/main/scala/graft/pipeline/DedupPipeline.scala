@@ -261,6 +261,30 @@ object DedupPipeline {
         (col("pv.simhash_dist") <= lit(cfg.simhashMaxDist)).as("simhash_ok"))
   }
 
+  /** Complete near-dup PAIR listing: verified edges → connected
+    * components → exhaustive intra-cluster verification. Chain+star keeps
+    * candidate generation linear per bucket, so a true pair inside a
+    * 4+-member bucket may never be DIRECTLY tested (coverage of direct
+    * pairs is probabilistic — candidatePairs doc); cluster connectivity,
+    * however, is near-certain (a J ≥ τ pair shares ~13 of 32 band buckets
+    * in expectation, each bucket a chain of verified family edges). This
+    * operator turns that into a STRUCTURAL pair-level contract: group the
+    * cluster members and re-verify all intra-cluster pairs with the exact
+    * Jaccard + LCS gates. The output is inherently quadratic in family
+    * size — that is the ask ("list every near-dup pair"); dedup itself
+    * consumes clusters (run/CheckpointedDedup), not this listing. */
+  def completeNearDupPairs(verified: DataFrame, docs: DataFrame,
+                           cfg: DedupConfig): DataFrame = {
+    val asg = connectedComponents(verified.select(col("a"), col("b")),
+      docs.select(col("conv_id")))
+    val intra = asg.groupBy(col("cluster_id"))
+      .agg(sort_array(collect_list(col("conv_id"))).as("ms"))
+      .where(size(col("ms")) >= 2)
+      .select(explode(arrayCombos(col("ms"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    verifyPairs(intra, docs, cfg)
+  }
+
   /** SimHash near-dup pairs via pigeonhole banding: split the 64-bit
     * fingerprint into 4×16-bit bands; any pair within Hamming distance 3
     * agrees on at least one band (pigeonhole), and this operator emits ALL

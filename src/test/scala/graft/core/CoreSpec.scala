@@ -107,7 +107,18 @@ class MinHasherSpec extends AnyFunSuite {
   test("empty set signature matches only empty") {
     val mh = new MinHasher(16, 9001L)
     val e = mh.signature(Array.emptyLongArray)
-    assert(e.forall(_ == MinHasher.P))
+    assert(e.forall(_ == MinHasher.EmptySig))
+    val ne = mh.signature(Array(42L, 7L))
+    assert(!ne.exists(_ == MinHasher.EmptySig))
+  }
+
+  test("each h_i is a bijection (odd multiplier) and min is order-valid") {
+    val mh = new MinHasher(8, 9001L)
+    (0 until 8).foreach(i => assert((mh.a(i) & 1L) === 1L, s"a($i) must be odd"))
+    // permutation property on a small domain: no collisions under h_0
+    val xs = Array.tabulate(10000)(i => i.toLong * 0x9E3779B97F4A7C15L)
+    val imgs = xs.map(x => mh.a(0) * x + mh.b(0))
+    assert(imgs.distinct.length === xs.length)
   }
 }
 

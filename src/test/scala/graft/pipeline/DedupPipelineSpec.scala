@@ -148,4 +148,38 @@ class DedupPipelineSpec extends AnyFunSuite {
       pairs.select(col("a"), col("b")), nodes).select("cluster_id").distinct().count()
     assert(cc === 1L)
   }
+
+  test("completeNearDupPairs: cluster closure recovers pairs chain+star never tested directly") {
+    import spark.implicits._
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 12).trim
+    val docsRows = Seq(
+      ("d1", base + " one"), ("d2", base + " two"),
+      ("d3", base + " three"), ("d4", base + " four"),
+      ("d9", "totally unrelated tiny document about nothing at all"))
+    val docs = docsRows.toDF("conv_id", "doc")
+      .withColumn("doc_len", length(col("doc")).cast("long"))
+    // verified input carries only a CHAIN through the family — the
+    // closure must emit all 6 intra-cluster pairs, and nothing for d9
+    val chainOnly = Seq(("d1", "d2"), ("d2", "d3"), ("d3", "d4")).toDF("a", "b")
+    val out = DedupPipeline.completeNearDupPairs(chainOnly, docs, cfg)
+      .select("a", "b").as[(String, String)].collect().toSet
+    val expected = (for {
+      x <- Seq("d1", "d2", "d3", "d4"); y <- Seq("d1", "d2", "d3", "d4")
+      if x < y
+    } yield (x, y)).toSet
+    assert(out === expected)
+  }
+
+  test("candidatePairsAgg (measured alternative) emits the identical pair set") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 800).map { i =>
+      (f"c$i%04d", i % 7, rnd.nextInt(120).toLong) // collide into ~120 buckets
+    }
+    val bands = rows.toDF("conv_id", "band_idx", "band_key")
+    val w = DedupPipeline.candidatePairs(bands, cfg)
+    val a = DedupPipeline.candidatePairsAgg(bands, cfg)
+    assert(w.exceptAll(a).count() === 0L)
+    assert(a.exceptAll(w).count() === 0L)
+  }
 }
