@@ -47,20 +47,54 @@ object Shingles {
     if (w == a.length) a else Arrays.copyOf(a, w)
   }
 
+  /** Shingle hashes written into `buf` (caller guarantees capacity
+    * ≥ max(1, len−k+1)), then sorted-distinct IN PLACE; returns the
+    * retained count. Zero-allocation variant for the pair-verification
+    * hot loop — the allocating `shingles` churned ~16 KB per pair and
+    * the resulting GC pressure capped the verify stage's scaling at 32
+    * cores. */
+  def shinglesInto(base: AnyRef, offset: Long, len: Int, k: Int, seed: Long,
+                   buf: Array[Long]): Int = {
+    if (len < k) {
+      if (len == 0) return 0
+      buf(0) = Murmur3x128.hash64(base, offset, len, seed)
+      return 1
+    }
+    val n = len - k + 1
+    var i = 0
+    while (i < n) {
+      buf(i) = Murmur3x128.hash64(base, offset + i, k, seed)
+      i += 1
+    }
+    if (n <= 1) return n
+    Arrays.sort(buf, 0, n)
+    var w = 1
+    i = 1
+    while (i < n) {
+      if (buf(i) != buf(w - 1)) { buf(w) = buf(i); w += 1 }
+      i += 1
+    }
+    w
+  }
+
   /** Exact Jaccard of two sorted-distinct arrays via merge intersection —
     * no allocation (SURVEY §4.3: array_intersect+size allocates; this is the
     * verification hot loop). */
-  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
-    if (a.length == 0 && b.length == 0) return 1.0
-    if (a.length == 0 || b.length == 0) return 0.0
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double =
+    jaccardSorted(a, a.length, b, b.length)
+
+  /** Length-aware variant over scratch buffers' first na/nb entries. */
+  def jaccardSorted(a: Array[Long], na: Int, b: Array[Long], nb: Int): Double = {
+    if (na == 0 && nb == 0) return 1.0
+    if (na == 0 || nb == 0) return 0.0
     var i = 0; var j = 0; var inter = 0
-    while (i < a.length && j < b.length) {
+    while (i < na && j < nb) {
       val x = a(i); val y = b(j)
       if (x == y) { inter += 1; i += 1; j += 1 }
       else if (x < y) i += 1
       else j += 1
     }
-    val union = a.length + b.length - inter
+    val union = na + nb - inter
     inter.toDouble / union
   }
 }

@@ -8,13 +8,17 @@ package graft.core
   */
 object SimHash64 {
 
-  def fingerprint(shingleHashes: Array[Long]): Long = {
+  def fingerprint(shingleHashes: Array[Long]): Long =
+    fingerprint(shingleHashes, shingleHashes.length)
+
+  /** Length-aware variant over a scratch buffer's first n entries. */
+  def fingerprint(shingleHashes: Array[Long], n: Int): Long = {
     // branchless vote: each hash bit is random, so a per-bit conditional
     // mispredicts ~50% of 64·n times — measured ~5x slower than the
     // arithmetic form on the verification hot path
     val votes = new Array[Int](64)
     var i = 0
-    while (i < shingleHashes.length) {
+    while (i < n) {
       val h = shingleHashes(i)
       var j = 0
       while (j < 64) {

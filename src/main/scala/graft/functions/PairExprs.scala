@@ -85,12 +85,29 @@ case class PairVerify(left: Expression, right: Expression, shingleK: Int, seed: 
 }
 
 object PairVerify {
+  /** Per-thread scratch buffers: the kernel runs ~100k times per task
+    * wave and the former per-pair shingle-array allocations (~16 KB/pair)
+    * made GC the verify stage's scaling bottleneck at 32 cores. Buffers
+    * grow to the longest doc seen by the thread and are reused. */
+  private final class Scratch {
+    var a: Array[Long] = new Array[Long](2048)
+    var b: Array[Long] = new Array[Long](2048)
+    def ensure(na: Int, nb: Int): Unit = {
+      if (a.length < na) a = new Array[Long](Integer.highestOneBit(na - 1) << 1)
+      if (b.length < nb) b = new Array[Long](Integer.highestOneBit(nb - 1) << 1)
+    }
+  }
+  private val scratch: ThreadLocal[Scratch] =
+    ThreadLocal.withInitial(() => new Scratch)
+
   def compute(a: UTF8String, b: UTF8String, k: Int, seed: Long): org.apache.spark.sql.catalyst.InternalRow = {
-    val sa = graft.core.Shingles.shingles(a.getBaseObject, a.getBaseOffset, a.numBytes, k, seed)
-    val sb = graft.core.Shingles.shingles(b.getBaseObject, b.getBaseOffset, b.numBytes, k, seed)
-    val j = graft.core.Shingles.jaccardSorted(sa, sb)
+    val s = scratch.get()
+    s.ensure(math.max(1, a.numBytes), math.max(1, b.numBytes))
+    val na = graft.core.Shingles.shinglesInto(a.getBaseObject, a.getBaseOffset, a.numBytes, k, seed, s.a)
+    val nb = graft.core.Shingles.shinglesInto(b.getBaseObject, b.getBaseOffset, b.numBytes, k, seed, s.b)
+    val j = graft.core.Shingles.jaccardSorted(s.a, na, s.b, nb)
     val dist = graft.core.SimHash64.hammingDist(
-      graft.core.SimHash64.fingerprint(sa), graft.core.SimHash64.fingerprint(sb))
+      graft.core.SimHash64.fingerprint(s.a, na), graft.core.SimHash64.fingerprint(s.b, nb))
     org.apache.spark.sql.catalyst.InternalRow(j, dist)
   }
 }

@@ -57,6 +57,12 @@ object TextSignatureExpr {
     val sh = Shingles.shingles(s.getBaseObject, s.getBaseOffset, s.numBytes, k, seed)
     val mh = hasher(n, seed).signature(sh)
     val sim = SimHash64.fingerprint(sh)
-    InternalRow(new GenericArrayData(sh), new GenericArrayData(mh), sim)
+    // UnsafeArrayData keeps the primitives unboxed (GenericArrayData on an
+    // Array[Long] boxes every element — ~1k Long objects per doc of GC
+    // churn in the pipeline's dominant stage)
+    InternalRow(
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sh),
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mh),
+      sim)
   }
 }
