@@ -100,21 +100,26 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val lowCores = math.max(1, cpus / 4)
-    // 300k convs (~5.5M turns): big enough that the ~10s of width-invariant
-    // stage residue (docs build, banding windows, CC collect) stops
-    // dominating the scaling ratio, small enough for a ~20 min bench
-    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "300000").toInt
+    // 1M convs (~16.8M turns): after the round-3 kernel work the pipeline
+    // runs ~2.5x faster, so 300k no longer amortized the width-invariant
+    // residue (docs shuffle, banding window, CC collect) against the
+    // scaling ratio; 1M restores the compute density (generated
+    // DISTRIBUTED — the driver-side Seq would not fit) while keeping the
+    // whole bench under ~15 min
+    val nConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "1000000").toInt
 
     // --- dedup scaling benchmark: identical parquet input, cpus/4 vs cpus
     val cfg = DedupConfig()
-    val corpusDir = s"/tmp/graft-bench-corpus-$nConvs"
+    // "-d" corpora come from the DISTRIBUTED generator (required for 1M+
+    // convs — the driver-side Seq would not fit; content differs from the
+    // old driver-generated corpora, hence the new cache key)
+    val corpusDir = s"/tmp/graft-bench-corpusd-$nConvs"
     val nTurns = {
       val s = session(cpus)
       try {
         val marker = new java.io.File(s"$corpusDir/_SUCCESS")
         if (!marker.exists()) {
-          val turns = Transcripts.generate(nConvs)
-          Transcripts.asDataFrame(s, turns, 64).write
+          Transcripts.generateDf(s, nConvs).write
             .mode("overwrite").parquet(corpusDir)
         }
         s.read.parquet(corpusDir).count()
@@ -172,6 +177,14 @@ object Bench {
         }
     }
 
+    // single-box kernel ceiling FIRST (machine idle): the signature
+    // kernel's own 8→32 ratio bounds any end-to-end efficiency here —
+    // one shared DRAM bus vs a real cluster's per-executor channels —
+    // so the recorded efficiency is readable against it
+    val kernelCeiling =
+      try graft.tools.CpuScale.ceiling8to32()
+      catch { case _: Throwable => -1.0 }
+
     val (secLow, protoLow) = dedupJvm(lowCores)
     val (secHigh, protoHigh) = dedupJvm(cpus)
     val protocol = if (protoLow == protoHigh) protoLow else s"$protoLow+$protoHigh"
@@ -194,7 +207,9 @@ object Bench {
       f"""{"n_convs":$nConvs,"n_turns":$nTurns,"cores_low":$lowCores,"cores_high":$cpus,""" +
       f""""sec_low":$secLow%.3f,"sec_high":$secHigh%.3f,""" +
       f""""turns_per_sec_low":$tpLow%.1f,"turns_per_sec_high":$tpHigh%.1f,""" +
-      f""""scaling_efficiency":$eff%.3f,"protocol":"$protocol"}"""
+      f""""scaling_efficiency":$eff%.3f,"kernel_ceiling_8_32":$kernelCeiling%.3f,""" +
+      f""""efficiency_vs_ceiling":${if (kernelCeiling > 0) eff / kernelCeiling else -1.0}%.3f,""" +
+      f""""protocol":"$protocol"}"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup":$dedup}"""
     println(line)

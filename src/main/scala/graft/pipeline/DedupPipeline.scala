@@ -531,11 +531,16 @@ object DedupPipeline {
         uf.union(r.getString(0), r.getString(1))
       }
       edges1.unpersist(false)
-      val asg = uf.assignments().toSeq.sorted.toDF("conv_id", "root")
-      // no broadcast hint: near the threshold the map can reach hundreds of
-      // MB — let AQE pick broadcast vs shuffle from actual size
+      // no .sorted: the join is order-insensitive and sorting ~1M driver
+      // tuples was the stage's single-threaded tail at scale
+      val asg = uf.assignments().toSeq.toDF("conv_id", "root")
+      // broadcast the assignment map when it is certainly small (≤ 500k
+      // edges ⇒ ≤ 1M entries, tens of MB) — skips shuffling allNodes;
+      // near the 2M-edge cap the map can reach hundreds of MB, so there
+      // AQE still picks from actual size
+      val asgMaybeBc = if (edgeCount <= 500000L) broadcast(asg) else asg
       return allNodes.select(col("conv_id"))
-        .join(asg, Seq("conv_id"), "left")
+        .join(asgMaybeBc, Seq("conv_id"), "left")
         .select(col("conv_id"), coalesce(col("root"), col("conv_id")).as("cluster_id"))
     }
 

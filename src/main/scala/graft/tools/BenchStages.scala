@@ -60,7 +60,12 @@ object BenchStages {
     val t0 = System.nanoTime()
     val docs = DedupPipeline.buildDocs(df).persist(StorageLevel.MEMORY_AND_DISK)
     time("docs")(docs.count())
-    val sigs = DedupPipeline.signatures(docs, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    // mirror run(): persist ONLY the minhash projection — caching the
+    // shingle arrays (~8x the text) spills at 1M docs and pollutes every
+    // downstream stage measurement
+    val sigs = DedupPipeline.signatures(docs, cfg)
+      .select(col("conv_id"), col("minhash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     time("signatures")(sigs.count())
     val bands = DedupPipeline.bands(sigs, cfg)
     val cand = DedupPipeline.candidatePairs(bands, cfg)

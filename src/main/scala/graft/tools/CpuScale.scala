@@ -5,39 +5,57 @@ import graft.core.{MinHasher, Shingles, SimHash64}
 /** Spark-free CPU scaling probe: the raw signature kernel (shingle +
   * MinHash-128 + SimHash) on T threads over the same synthetic docs.
   * Separates machine-level scaling (host oversubscription, memory
-  * bandwidth) from pipeline-structure effects in the Bench numbers. */
+  * bandwidth) from pipeline-structure effects in the Bench numbers.
+  * The N→4N ratio of this probe IS the single-box ceiling for any
+  * end-to-end efficiency number: the kernel shares one DRAM bus here,
+  * where a real 4N-executor cluster brings 4× memory channels. */
 object CpuScale {
+  private val doc = (1 to 40).map(i => s"synthetic sentence number $i about spark pipelines " +
+    s"and shingled minhash signatures for scaling probes").mkString("\n")
+  private val mh = new MinHasher(128, 9001L)
+
+  private def work(n: Int): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val sh = Shingles.shinglesOf(doc + i, 8, 9001L)
+      acc ^= mh.signature(sh)(0) ^ SimHash64.fingerprint(sh)
+      i += 1
+    }
+    acc
+  }
+
+  /** docs/s at the given thread count over `total` docs (pre-warm JIT
+    * with a small run before first use). */
+  def throughput(threads: Int, total: Int): Double = {
+    val per = total / threads
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { _ =>
+      val t = new Thread(() => { work(per); () })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    total / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  /** The 8→32 kernel scaling ceiling on this host (run by Bench so the
+    * recorded efficiency can be read against it). */
+  def ceiling8to32(total: Int = 12800): Double = {
+    work(200) // JIT warmup
+    val tp8 = throughput(8, total)
+    val tp32 = throughput(32, total)
+    tp32 / (4.0 * tp8)
+  }
+
   def main(args: Array[String]): Unit = {
     val docsPerThread = if (args.nonEmpty) args(0).toInt else 400
-    val doc = (1 to 40).map(i => s"synthetic sentence number $i about spark pipelines " +
-      s"and shingled minhash signatures for scaling probes").mkString("\n")
-    val mh = new MinHasher(128, 9001L)
-
-    def work(n: Int): Long = {
-      var acc = 0L
-      var i = 0
-      while (i < n) {
-        val sh = Shingles.shinglesOf(doc + i, 8, 9001L)
-        acc ^= mh.signature(sh)(0) ^ SimHash64.fingerprint(sh)
-        i += 1
-      }
-      acc
-    }
-
-    // JIT warmup
     work(200)
-
     for (threads <- Seq(1, 8, 32)) {
       val total = docsPerThread * 32 // fixed total work
-      val per = total / threads
       val t0 = System.nanoTime()
-      val ts = (1 to threads).map { _ =>
-        val t = new Thread(() => { work(per); () })
-        t.start(); t
-      }
-      ts.foreach(_.join())
+      val tp = throughput(threads, total)
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[cpu] threads=$threads%2d total_docs=$total sec=$sec%6.2f docs/s=${total / sec}%8.0f")
+      println(f"[cpu] threads=$threads%2d total_docs=$total sec=$sec%6.2f docs/s=$tp%8.0f")
     }
   }
 }
