@@ -131,8 +131,7 @@ object Bench {
     // and a cores-proportional heap CLAMPED at 12g — on this box G1 falls
     // off a cliff well below half the physical RAM (measured: the identical
     // 32-core pipeline run is 46.6 s at -Xmx8g and 225 s at -Xmx48g).
-    // Best-of-3 inside the child filters GC/host noise.
-    def dedupJvm(cores: Int): (Double, String) = {
+    def dedupJvm(cores: Int, repeats: Int): (Double, String) = {
       val javaBin = System.getProperty("java.home") + "/bin/java"
       val memGb = math.min(12, math.max(4, cores))
       def spawn(cp: String): Option[Double] = {
@@ -141,7 +140,7 @@ object Bench {
           s"-XX:ActiveProcessorCount=$cores",
           "-Dspark.ui.enabled=false",
           "-cp", cp,
-          "graft.tools.DedupOnce", cores.toString, corpusDir, "3", ShufflePartitions)
+          "graft.tools.DedupOnce", cores.toString, corpusDir, repeats.toString, ShufflePartitions)
         val pb = new ProcessBuilder(cmd: _*)
         pb.redirectErrorStream(true)
         val proc = pb.start()
@@ -168,7 +167,7 @@ object Bench {
             val df = s.read.parquet(corpusDir)
             df.count()
             DedupPipeline.run(df.where(org.apache.spark.sql.functions.col("conv_id") <= "conv-000200"), cfg).count()
-            val best = (1 to 3).map { _ =>
+            val best = (1 to repeats).map { _ =>
               s.sharedState.cacheManager.clearCache()
               timed { DedupPipeline.run(df, cfg).count() }
             }.min
@@ -185,12 +184,27 @@ object Bench {
       try graft.tools.CpuScale.ceiling8to32()
       catch { case _: Throwable => -1.0 }
 
-    val (secLow, protoLow) = dedupJvm(lowCores)
-    val (secHigh, protoHigh) = dedupJvm(cpus)
-    val protocol = if (protoLow == protoHigh) protoLow else s"$protoLow+$protoHigh"
+    // INTERLEAVED PAIRED legs: this shared VM drifts ±20-30% on a scale
+    // of minutes (identical binaries measured 49.5 s and 65.5 s apart),
+    // so timing all low-core repeats in one window and all high-core
+    // repeats in another skews the ratio by whatever the host did in
+    // between. Each round times high then low back-to-back — both legs
+    // sample the same machine state — and the reported efficiency is the
+    // MEDIAN of the per-round paired ratios. Throughput still reports
+    // the best leg times.
+    val rounds = (1 to 3).map { _ =>
+      val (th, ph) = dedupJvm(cpus, 1)
+      val (tl, pl) = dedupJvm(lowCores, 1)
+      (tl, th, pl, ph)
+    }
+    val secLow = rounds.map(_._1).min
+    val secHigh = rounds.map(_._2).min
+    val protos = rounds.flatMap(r => Seq(r._3, r._4)).distinct
+    val protocol = if (protos.size == 1) protos.head else protos.mkString("+")
     val tpLow = nTurns / secLow
     val tpHigh = nTurns / secHigh
-    val eff = secLow / (4.0 * secHigh)
+    val ratios = rounds.map(r => r._1 / (4.0 * r._2)).sorted
+    val eff = ratios(ratios.length / 2)
 
     // --- headline queries on the driver-provided tables -------------------
     val spark = session(cpus)
@@ -207,7 +221,9 @@ object Bench {
       f"""{"n_convs":$nConvs,"n_turns":$nTurns,"cores_low":$lowCores,"cores_high":$cpus,""" +
       f""""sec_low":$secLow%.3f,"sec_high":$secHigh%.3f,""" +
       f""""turns_per_sec_low":$tpLow%.1f,"turns_per_sec_high":$tpHigh%.1f,""" +
-      f""""scaling_efficiency":$eff%.3f,"kernel_ceiling_8_32":$kernelCeiling%.3f,""" +
+      f""""scaling_efficiency":$eff%.3f,""" +
+      s""""paired_ratios":[${ratios.map(r => f"$r%.3f").mkString(",")}],""" +
+      f""""kernel_ceiling_8_32":$kernelCeiling%.3f,""" +
       f""""efficiency_vs_ceiling":${if (kernelCeiling > 0) eff / kernelCeiling else -1.0}%.3f,""" +
       f""""protocol":"$protocol"}"""
     val line =

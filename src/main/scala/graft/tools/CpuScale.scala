@@ -39,11 +39,13 @@ object CpuScale {
   }
 
   /** The 8→32 kernel scaling ceiling on this host (run by Bench so the
-    * recorded efficiency can be read against it). */
-  def ceiling8to32(total: Int = 12800): Double = {
-    work(200) // JIT warmup
-    val tp8 = throughput(8, total)
-    val tp32 = throughput(32, total)
+    * recorded efficiency can be read against it). Best-of-3 per width
+    * over a run long enough to drown thread-startup — single short runs
+    * measured anywhere from 0.70 to 0.91 on this VM. */
+  def ceiling8to32(total: Int = 51200): Double = {
+    work(400) // JIT warmup
+    val tp8 = (1 to 3).map(_ => throughput(8, total)).max
+    val tp32 = (1 to 3).map(_ => throughput(32, total)).max
     tp32 / (4.0 * tp8)
   }
 
