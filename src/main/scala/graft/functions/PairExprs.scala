@@ -88,13 +88,23 @@ object PairVerify {
   /** Per-thread scratch buffers: the kernel runs ~100k times per task
     * wave and the former per-pair shingle-array allocations (~16 KB/pair)
     * made GC the verify stage's scaling bottleneck at 32 cores. Buffers
-    * grow to the longest doc seen by the thread and are reused. */
+    * grow to the longest TYPICAL doc seen by the thread and are reused;
+    * docs beyond RetainCap entries (≈ 4 MB of Long per side) use a
+    * transient allocation instead so one multi-MB outlier cannot pin
+    * tens of MB per executor thread for the application lifetime. */
+  private final val RetainCap = 1 << 19 // 512k shingles ≈ 4 MB per buffer
   private final class Scratch {
     var a: Array[Long] = new Array[Long](2048)
     var b: Array[Long] = new Array[Long](2048)
-    def ensure(na: Int, nb: Int): Unit = {
-      if (a.length < na) a = new Array[Long](Integer.highestOneBit(na - 1) << 1)
-      if (b.length < nb) b = new Array[Long](Integer.highestOneBit(nb - 1) << 1)
+    def bufA(n: Int): Array[Long] = {
+      if (a.length >= n) a
+      else if (n > RetainCap) new Array[Long](n) // transient, not retained
+      else { a = new Array[Long](Integer.highestOneBit(n - 1) << 1); a }
+    }
+    def bufB(n: Int): Array[Long] = {
+      if (b.length >= n) b
+      else if (n > RetainCap) new Array[Long](n)
+      else { b = new Array[Long](Integer.highestOneBit(n - 1) << 1); b }
     }
   }
   private val scratch: ThreadLocal[Scratch] =
@@ -102,12 +112,13 @@ object PairVerify {
 
   def compute(a: UTF8String, b: UTF8String, k: Int, seed: Long): org.apache.spark.sql.catalyst.InternalRow = {
     val s = scratch.get()
-    s.ensure(math.max(1, a.numBytes), math.max(1, b.numBytes))
-    val na = graft.core.Shingles.shinglesInto(a.getBaseObject, a.getBaseOffset, a.numBytes, k, seed, s.a)
-    val nb = graft.core.Shingles.shinglesInto(b.getBaseObject, b.getBaseOffset, b.numBytes, k, seed, s.b)
-    val j = graft.core.Shingles.jaccardSorted(s.a, na, s.b, nb)
+    val sa = s.bufA(math.max(1, a.numBytes))
+    val sb = s.bufB(math.max(1, b.numBytes))
+    val na = graft.core.Shingles.shinglesInto(a.getBaseObject, a.getBaseOffset, a.numBytes, k, seed, sa)
+    val nb = graft.core.Shingles.shinglesInto(b.getBaseObject, b.getBaseOffset, b.numBytes, k, seed, sb)
+    val j = graft.core.Shingles.jaccardSorted(sa, na, sb, nb)
     val dist = graft.core.SimHash64.hammingDist(
-      graft.core.SimHash64.fingerprint(s.a, na), graft.core.SimHash64.fingerprint(s.b, nb))
+      graft.core.SimHash64.fingerprint(sa, na), graft.core.SimHash64.fingerprint(sb, nb))
     org.apache.spark.sql.catalyst.InternalRow(j, dist)
   }
 }

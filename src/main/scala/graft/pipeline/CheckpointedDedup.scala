@@ -115,6 +115,9 @@ final class CheckpointedDedup(
     } else {
       val out = compute()
       prof(s"$name write")(io.write(out, s"$runId/$name"))
+      // stage output is on disk: release any intermediates the pipeline
+      // persisted while computing it (verifyPairs' spread, winnow tables)
+      DedupPipeline.unpersistIntermediates(spark)
       computedStages = computedStages :+ name
       val persisted = io.read(spark, s"$runId/$name")
       val rowsIn = prof(s"$name rowsIn")(

@@ -35,6 +35,40 @@ import graft.core._
   */
 object DedupPipeline {
 
+  /** Intermediates persisted by pipeline stages (verifyPairs' spread pair
+    * stream, the winnow bucket/vocabulary tables, run()'s docs/sigs),
+    * tracked per session so long-lived callers can release them: Spark
+    * never auto-unpersists, and repeated library calls in one session
+    * would otherwise accumulate cached blocks (ADVICE r3). Unpersisting
+    * is safe at any point — downstream frames recompute — but call it
+    * after materializing stage output (CheckpointedDedup does, per
+    * stage). Verify-style callers that clearCache() per query need
+    * nothing. */
+  private val trackedPersists =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+
+  private def trackPersist(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackedPersists
+      .computeIfAbsent(df.sparkSession,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
+      .add(df)
+    df
+  }
+
+  /** Release every intermediate this pipeline persisted in `spark`. */
+  def unpersistIntermediates(spark: SparkSession): Unit = {
+    val q = trackedPersists.remove(spark)
+    if (q != null) {
+      val it = q.iterator()
+      while (it.hasNext) {
+        try it.next().unpersist(false)
+        catch { case _: Throwable => }
+      }
+    }
+  }
+
   /** P2: transcripts → docs(conv_id, doc, n_turns, doc_len).
     * Stable turn ordering: array_sort over struct(turn_idx, ts, text) sorts
     * lexicographically by field order — deterministic tie-break per
@@ -233,8 +267,7 @@ object DedupPipeline {
     // persisted because BOTH the candidate-id semi-join below and the
     // verification join consume it — without the cache the whole upstream
     // candidate subtree (banding windows / winnow tiers) computes twice
-    val spread = candPairs.repartition(parts, col("a"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spread = trackPersist(candPairs.repartition(parts, col("a")))
 
     val candIds = spread.select(col("a").as("conv_id"))
       .unionByName(spread.select(col("b").as("conv_id")))
@@ -339,12 +372,11 @@ object DedupPipeline {
     // (salt is per (doc, bucket), so each bucket splits independently).
     // Work per bucket is LINEAR in bucket size — what makes
     // template-family buckets safe at 100x corpus.
-    val t2 = buckets.where(col("m") > allPairsCap)
+    val t2 = trackPersist(buckets.where(col("m") > allPairsCap)
       .withColumn("S", ceil(col("m").cast("double") / subBucketSize).cast("int"))
       .withColumn("subs", transform(sequence(lit(0), col("S") - 1),
         s => filter(col("ms"), x =>
-          pmod(xxhash64(x, col("band_key")), col("S").cast("long")) === s.cast("long"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          pmod(xxhash64(x, col("band_key")), col("S").cast("long")) === s.cast("long")))))
     // within each sub-bucket: chain+star by default (≤ 2 edges per member
     // — the candidatePairs pattern, LINEAR in bucket size), or full
     // all-pairs when tier2PairRecall is on. Either way a co-occurrence is
@@ -411,9 +443,8 @@ object DedupPipeline {
                            subBucketSize: Int = 64,
                            stopFpFreq: Int = 4096,
                            tier2PairRecall: Boolean = false): DataFrame = {
-    val buckets = winnowBuckets(docs, k, w)
-      .where(col("m") <= stopFpFreq)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = trackPersist(winnowBuckets(docs, k, w)
+      .where(col("m") <= stopFpFreq))
     // kept vocabulary sizes per doc (the prefilter denominators), split by
     // tier: the tier-1 ratio is an EXACT containment measure (both its
     // numerator and denominator count only ≤ allPairsCap fingerprints) —
@@ -422,19 +453,25 @@ object DedupPipeline {
     // buckets only: a templated doc's raw fingerprint count is dominated
     // by stop-fingerprints, which would deflate the ratio for exactly the
     // pairs the tiers exist to preserve.
-    val nFp = buckets.select(explode(col("ms")).as("conv_id"), col("m"))
+    val nFp = trackPersist(buckets.select(explode(col("ms")).as("conv_id"), col("m"))
       .groupBy(col("conv_id"))
       .agg(sum(when(col("m") <= allPairsCap, 1L).otherwise(0L)).as("nf1"),
-        count(lit(1)).as("nfall"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        count(lit(1)).as("nfall")))
     // exact early drop: any pair passing the tier-1 branch needs
     // t1_shared >= minFpOverlap * min(nf1 over the WHOLE corpus), so pairs
     // below that global floor (the vast cousin tail — most candidate pairs
-    // co-occur exactly once) never reach the per-doc joins. The floor is
-    // one tiny driver-side scalar over the per-doc vocabulary table.
-    val minNf1 = nFp.agg(coalesce(min(when(col("nf1") > 0, col("nf1"))), lit(1L)))
-      .head().getLong(0)
-    val earlyT1 = math.max(1L, math.ceil(minFpOverlap * minNf1).toLong)
+    // co-occur exactly once) never reach the per-doc joins. The floors are
+    // one tiny driver-side row over the per-doc vocabulary table. The
+    // tier-2 estimate branch gets its OWN floor from min(nfall): a pure
+    // tier-2 doc (nf1 = 0 — exactly the tier2PairRecall target) can have a
+    // final threshold min(nfall)·overlap below the tier-1 floor, so gating
+    // the est branch with earlyT1 dropped pairs the final predicate keeps
+    // (ADVICE r3).
+    val floors = nFp.agg(
+      coalesce(min(when(col("nf1") > 0, col("nf1"))), lit(1L)),
+      coalesce(min(col("nfall")), lit(1L))).head()
+    val earlyT1 = math.max(1L, math.ceil(minFpOverlap * floors.getLong(0)).toLong)
+    val earlyT2 = math.max(1L, math.ceil(minFpOverlap * floors.getLong(1)).toLong)
     winnowPairStream(buckets, allPairsCap, subBucketSize, tier2PairRecall)
       .groupBy(col("a"), col("b"))
       .agg(sum(when(col("wt") === 1L, 1L).otherwise(0L)).as("t1_shared"),
@@ -442,7 +479,7 @@ object DedupPipeline {
         sum(when(col("wt") < WinnowLinkWeight, 1L).otherwise(0L)).as("n_obs"),
         max(col("wt")).as("max_wt"))
       .where(col("t1_shared") >= earlyT1 ||
-        (col("est_shared") >= earlyT1 && col("n_obs") >= 4) ||
+        (col("est_shared") >= earlyT2 && col("n_obs") >= 4) ||
         col("max_wt") >= WinnowLinkWeight)
       // no broadcast hint: nFp is per-doc (10^9 rows at corpus scale) —
       // AQE broadcasts it when the actual size is small
@@ -604,13 +641,11 @@ object DedupPipeline {
     // docs/sigs feed multiple downstream joins — persist so the signature
     // computation runs once, not once per consumer (the checkpointed
     // runner materializes to parquet instead)
-    val docs = buildDocs(transcripts)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = trackPersist(buildDocs(transcripts))
     // banding needs only the minhash; dropping the shingle arrays (~16x
     // the minhash size) from the persisted footprint keeps the cache hot
-    val sigs = signatures(docs, cfg)
-      .select(col("conv_id"), col("minhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = trackPersist(signatures(docs, cfg)
+      .select(col("conv_id"), col("minhash")))
     val cand = candidatePairs(bands(sigs, cfg), cfg)
     val verified = verifyPairs(cand, docs, cfg)
     connectedComponents(verified, docs.select(col("conv_id")))

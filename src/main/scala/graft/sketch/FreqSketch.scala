@@ -136,7 +136,10 @@ final class FreqSketch[T] private (
         (lgMaxMapSize.toLong << 24) | (lgCur.toLong << 32) | (flags.toLong << 40)
     if (isEmpty) {
       val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-      bb.putLong(pre0(1, 3, 4)) // empty flag (Java convention, bit 2)
+      // _EMPTY_FLAG_MASK = 5 (frequencies/preamble_utils.go:38): bits 0 AND
+      // 2 both set "for compatibility with historical binary format" —
+      // historical C++ readers key on bit 0
+      bb.putLong(pre0(1, 3, 5))
       return bb.array()
     }
     val items = counts.toArray

@@ -151,13 +151,23 @@ final class HllSketch private (
 
   def lowerBound(numStdDev: Int): Double = {
     require(numStdDev >= 1 && numStdDev <= 3)
-    if (!isDense) return estimate // sparse is near-exact
+    if (!isDense) {
+      // coupon-mode bounds (hll/coupon.go:92-101): interval around the
+      // interpolated estimate, floored at the coupon count — returning the
+      // bare estimate put LB above the true count whenever the mapping
+      // rounds up (estimate(200 coupons) ≈ 200.003 > n = 200)
+      val c = sparse.size
+      return math.max(estimate / (1.0 + numStdDev * CouponRse), c.toDouble)
+    }
     estimate / (1.0 + numStdDev * rse)
   }
 
   def upperBound(numStdDev: Int): Double = {
     require(numStdDev >= 1 && numStdDev <= 3)
-    if (!isDense) return estimate
+    if (!isDense) {
+      val c = sparse.size
+      return math.max(estimate / (1.0 - numStdDev * CouponRse), c.toDouble)
+    }
     estimate / (1.0 - numStdDev * rse)
   }
 
@@ -288,9 +298,24 @@ final class HllSketch private (
     * the Java/C++/Go libraries (layouts per hll/preamble_utils.go:27-90). */
   def toDataSketchesImage: Array[Byte] = toDataSketchesImage(HllSketch.TgtHll8)
 
-  def toDataSketchesImage(tgtType: Int): Array[Byte] = {
+  def toDataSketchesImage(tgtType: Int): Array[Byte] =
+    toDataSketchesImage(tgtType, compact = true)
+
+  /** UPDATABLE-form export (`ToUpdatableSlice`, hll/to_slice_impl.go:25-93):
+    * same preambles with the compact flag CLEAR; LIST/SET write the full
+    * 2^lgArr coupon array (SET coupons at their open-addressing probe
+    * positions — the reference's updatable read path raw-copies the array,
+    * coupon_hash_set.go:239-246, so placement must match findCoupon);
+    * HLL4 writes the full 2^lgAuxArrInts aux array (re-inserted on read,
+    * aux_hash_map.go:80-93, so any nonzero placement is legal — probe
+    * placement used anyway). A consumer can continue in-place updates. */
+  def toDataSketchesUpdatableImage(tgtType: Int = HllSketch.TgtHll8): Array[Byte] =
+    toDataSketchesImage(tgtType, compact = false)
+
+  def toDataSketchesImage(tgtType: Int, compact: Boolean): Array[Byte] = {
     require(tgtType >= 0 && tgtType <= 2, s"tgtType must be 0 (HLL4), 1 (HLL6) or 2 (HLL8)")
     val emptyFlag = 4; val compactFlag = 8; val oooFlag = 16
+    val cFlag = if (compact) compactFlag else 0
     val ListCap = 8 // upstream LIST capacity before SET/HLL promotion
     if (!isDense) {
       val coupons = new Array[Int](sparse.size)
@@ -299,37 +324,71 @@ final class HllSketch private (
       while (it.hasNext) { coupons(i) = it.next(); i += 1 }
       java.util.Arrays.sort(coupons)
       if (coupons.length <= ListCap) {
-        // LIST image: preInts 2, count byte at offset 6
-        val bb = ByteBuffer.allocate(8 + 4 * coupons.length).order(ByteOrder.LITTLE_ENDIAN)
+        // LIST image: preInts 2, count byte at offset 6. Updatable form
+        // writes the full 8-slot array (lgInitListSize = 3); the LIST
+        // probe is a linear scan from 0, so front-packed coupons are
+        // exactly what continued updates expect (coupon_list.go:64-84).
+        val slots = if (compact) coupons.length else 1 << 3
+        val bb = ByteBuffer.allocate(8 + 4 * slots).order(ByteOrder.LITTLE_ENDIAN)
         bb.put(2.toByte)  // preInts (LIST)
         bb.put(1.toByte)  // serVer
         bb.put(FamilyHll)
         bb.put(lgK.toByte)
         bb.put(3.toByte)  // lgArr (LIST starts at 8 slots)
-        bb.put((compactFlag | (if (coupons.isEmpty) emptyFlag else 0)).toByte)
+        bb.put((cFlag | (if (coupons.isEmpty) emptyFlag else 0)).toByte)
         bb.put(coupons.length.toByte)
         bb.put(((tgtType << 2) | 0).toByte) // modeByte: curMode LIST
         coupons.foreach(bb.putInt)
         bb.array()
       } else if (lgK > 7) {
-        val bb = ByteBuffer.allocate(12 + 4 * coupons.length).order(ByteOrder.LITTLE_ENDIAN)
-        bb.put(3.toByte)  // preInts (SET)
-        bb.put(1.toByte)  // serVer
-        bb.put(FamilyHll)
-        bb.put(lgK.toByte)
-        bb.put(5.toByte)  // lgArr (informational for compact images)
-        bb.put(compactFlag.toByte)
-        bb.put(0.toByte)  // unused (set count lives at int 8)
-        bb.put(((tgtType << 2) | 1).toByte) // modeByte: curMode SET
-        bb.putInt(coupons.length)
-        coupons.foreach(bb.putInt)
-        bb.array()
+        if (compact) {
+          val bb = ByteBuffer.allocate(12 + 4 * coupons.length).order(ByteOrder.LITTLE_ENDIAN)
+          bb.put(3.toByte)  // preInts (SET)
+          bb.put(1.toByte)  // serVer
+          bb.put(FamilyHll)
+          bb.put(lgK.toByte)
+          bb.put(5.toByte)  // lgArr (informational for compact images)
+          bb.put(compactFlag.toByte)
+          bb.put(0.toByte)  // unused (set count lives at int 8)
+          bb.put(((tgtType << 2) | 1).toByte) // modeByte: curMode SET
+          bb.putInt(coupons.length)
+          coupons.foreach(bb.putInt)
+          bb.array()
+        } else {
+          // updatable SET: open-addressing array at the reference's load
+          // factor (grow while 4·count > 3·2^lgArr, lgInitSetSize = 5,
+          // promoted to HLL beyond lgK-3 — coupon_hash_set.go:113-125),
+          // coupons at their findCoupon probe positions
+          var lgArr = 5
+          while (4 * coupons.length > 3 * (1 << lgArr) && lgArr < lgK - 3) lgArr += 1
+          val n = 1 << lgArr
+          val mask = n - 1
+          val arr = new Array[Int](n)
+          val keyMask26 = (1 << 26) - 1
+          coupons.foreach { c =>
+            var probe = c & mask
+            while (arr(probe) != 0) {
+              val stride = ((c & keyMask26) >>> lgArr) | 1
+              probe = (probe + stride) & mask
+            }
+            arr(probe) = c
+          }
+          val bb = ByteBuffer.allocate(12 + 4 * n).order(ByteOrder.LITTLE_ENDIAN)
+          bb.put(3.toByte); bb.put(1.toByte); bb.put(FamilyHll); bb.put(lgK.toByte)
+          bb.put(lgArr.toByte)
+          bb.put(0.toByte)  // flags: not compact
+          bb.put(0.toByte)
+          bb.put(((tgtType << 2) | 1).toByte)
+          bb.putInt(coupons.length)
+          arr.foreach(bb.putInt)
+          bb.array()
+        }
       } else {
         // lgK ≤ 7 with an over-LIST coupon count: no legal sparse image —
         // densify a copy (upstream LIST→HLL promotion) and emit HLL mode
         val dense = copy()
         dense.promote()
-        dense.toDataSketchesImage(tgtType)
+        dense.toDataSketchesImage(tgtType, compact)
       }
     } else {
       var curMin = 64
@@ -382,14 +441,37 @@ final class HllSketch private (
           }
           (out, aux.toArray)
       }
-      val bb = ByteBuffer.allocate(40 + arr.length + 4 * auxPairs.length)
+      // updatable HLL4 writes the FULL open-addressing aux array — even
+      // when empty (to_slice_impl.go:27-41: auxBytes = 4 << lgAuxArrInts
+      // for HLL4 with no aux map); pairs sit at their findAuxHashMap
+      // probe positions (slotNo-keyed, aux_hash_map.go:197-217)
+      val isHll4 = tgtType == HllSketch.TgtHll4
+      val (auxOut, lgAux) =
+        if (compact || !isHll4) (auxPairs, 0)
+        else {
+          var lg = HllSketch.lgAuxArrInts(lgK)
+          while (4 * auxPairs.length > 3 * (1 << lg) && lg < lgK - 1) lg += 1
+          val n = 1 << lg
+          val full = new Array[Int](n)
+          val mask = n - 1
+          auxPairs.foreach { p =>
+            val slotNo = p & (k - 1)
+            var probe = slotNo & mask
+            while (full(probe) != 0) {
+              probe = (probe + ((slotNo >>> lg) | 1)) & mask
+            }
+            full(probe) = p
+          }
+          (full, lg)
+        }
+      val bb = ByteBuffer.allocate(40 + arr.length + 4 * auxOut.length)
         .order(ByteOrder.LITTLE_ENDIAN)
       bb.put(10.toByte) // preInts (HLL)
       bb.put(1.toByte)  // serVer
       bb.put(FamilyHll)
       bb.put(lgK.toByte)
-      bb.put(0.toByte)  // lgArr (unused for HLL mode)
-      bb.put((compactFlag | (if (outOfOrder) oooFlag else 0)).toByte)
+      bb.put(lgAux.toByte) // lgArr: aux array size for updatable HLL4, else 0
+      bb.put((cFlag | (if (outOfOrder) oooFlag else 0)).toByte)
       bb.put(curMin.toByte)
       bb.put(((tgtType << 2) | 2).toByte) // modeByte: curMode HLL
       bb.putDouble(if (outOfOrder) 0.0 else hipAccum)
@@ -398,7 +480,7 @@ final class HllSketch private (
       bb.putInt(numAtCurMin)
       bb.putInt(auxPairs.length)
       bb.put(arr)
-      auxPairs.foreach(bb.putInt)
+      auxOut.foreach(bb.putInt)
       bb.array()
     }
   }
@@ -424,6 +506,15 @@ object HllSketch {
     val value = math.min(java.lang.Long.numberOfLeadingZeros(hi), 62) + 1
     (value << ValueShift) | addr
   }
+
+  /** Coupon-mode RSE at the transition point (hll/utils.go:43-44). */
+  final val CouponRse: Double = 0.409 / (1 << 13)
+
+  /** Log2 aux-array sizes by lgK (published constants, hll/utils.go:99-106). */
+  private[sketch] val lgAuxArrInts: Array[Int] = Array(
+    0, 2, 2, 2, 2, 2, 2, 3, 3, 3,
+    4, 4, 5, 5, 6, 7, 8, 9, 10, 11,
+    12, 13, 14, 15, 16, 17, 18)
 
   private val InvPow2Table: Array[Double] = Array.tabulate(64)(i => math.pow(2.0, -i))
   @inline def invPow2(v: Int): Double = InvPow2Table(v)

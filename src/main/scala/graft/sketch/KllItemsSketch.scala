@@ -323,13 +323,17 @@ final class KllItemsSketch[T] private (
       ops.sizeOf(_minItem.get) + ops.sizeOf(_maxItem.get) + itemBytes)
       .order(ByteOrder.LITTLE_ENDIAN)
     bb.put(5.toByte); bb.put(1.toByte); bb.put(FamilyKll.toByte)
-    bb.put(0.toByte) // flags
+    bb.put(2.toByte) // flags: level zero sorted (sortLevel0 above)
     bb.putShort(k.toShort); bb.put(M.toByte); bb.put(0.toByte)
     bb.putLong(_n)
     bb.putShort(k.toShort) // minK (merges require equal k here)
     bb.put(numLevels.toByte); bb.put(0.toByte)
+    // ABSOLUTE offsets into a totalCapacity-sized right-justified array —
+    // the reference reader derives retained = capacity - levels[0]
+    // (items_sketch_validate.go:116)
+    val shift = KllSketch.totalCapacity(k, numLevels) - numRetained
     var h = 0
-    while (h < numLevels) { bb.putInt(levels(h) - levels(0)); h += 1 }
+    while (h < numLevels) { bb.putInt(levels(h) - levels(0) + shift); h += 1 }
     ops.write(bb, _minItem.get)
     ops.write(bb, _maxItem.get)
     i = levels(0)

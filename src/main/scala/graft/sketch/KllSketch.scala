@@ -350,8 +350,13 @@ final class KllSketch private (
     bb.putLong(_n)
     bb.putShort(k.toShort) // minK (equal-k merges only, so minK == k)
     bb.put(numLevels.toByte); bb.put(0.toByte)
+    // offsets are ABSOLUTE into a totalCapacity-sized right-justified
+    // array: the reference reader derives retained = capacity - levels[0]
+    // (items_sketch_validate.go:116), so levels[0] must be
+    // capacity - retained, NOT 0
+    val shift = totalCapacity(k, numLevels) - retained
     var h = 0
-    while (h < numLevels) { bb.putInt(levels(h) - levels(0)); h += 1 }
+    while (h < numLevels) { bb.putInt(levels(h) - levels(0) + shift); h += 1 }
     bb.putDouble(_minItem)
     bb.putDouble(_maxItem)
     var i = levels(0)
@@ -385,13 +390,40 @@ object KllSketch {
   final val FamilyKll: Byte = 15
   final val DefaultK = 200
 
-  /** cap(h) = max(M, ceil(k · (2/3)^(numLevels-1-h))) */
+  /** cap(h) = max(M, round_half_up(k · (2/3)^(numLevels-1-h))) — the
+    * reference's exact integer formula (kll/items_sketch.go:839-862
+    * levelCapacity/intCapAux): 2k·2^depth / 3^depth, then (x+1)/2 — i.e.
+    * ROUND-HALF-UP, not ceil (they disagree: 133 vs 134 at k=200 depth=1).
+    * Serialized level offsets are absolute into an array of
+    * totalCapacity(k, numLevels) items (items_sketch_validate.go:116
+    * derives retained = capacity - levels[0]), so the engine must agree
+    * with the reference on this formula EXACTLY or exported images
+    * mis-parse in the Java/C++/Go libraries. */
   def levelCapacity(k: Int, numLevels: Int, h: Int): Int = {
     val depth = numLevels - 1 - h
-    var cap = k.toDouble
+    math.max(M, intCapAux(k, depth))
+  }
+
+  /** Integer (2/3)^depth scaling with round-half-up; depth > 30 composes
+    * two half-depth applications exactly like the reference (intCapAux,
+    * kll/items_sketch.go:844-852). */
+  private def intCapAux(k: Int, depth: Int): Int = {
+    if (depth <= 30) intCapAuxAux(k, depth)
+    else {
+      val half = depth / 2
+      intCapAuxAux(intCapAuxAux(k, half), depth - half)
+    }
+  }
+
+  private def intCapAuxAux(k: Int, depth: Int): Int = {
+    // 3^depth for depth <= 30 fits a Long; 2k << depth fits for k <= 65535,
+    // depth <= 30 (17 + 30 bits < 63)
+    var p3 = 1L
     var i = 0
-    while (i < depth) { cap = cap * 2.0 / 3.0; i += 1 }
-    math.max(M, math.ceil(cap).toInt)
+    while (i < depth) { p3 *= 3L; i += 1 }
+    val tmp = (2L * k << depth) / p3
+    val result = (tmp + 1L) >> 1
+    if (result <= k) result.toInt else k
   }
 
   def totalCapacity(k: Int, numLevels: Int): Int = {

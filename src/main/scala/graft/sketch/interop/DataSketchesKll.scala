@@ -80,7 +80,14 @@ object DataSketchesKll {
     bb.putLong(img.n)
     bb.putShort(img.minK.toShort)
     bb.put(img.numLevels.toByte); bb.put(0.toByte)
-    (0 until img.numLevels).foreach(i => bb.putInt(img.levels(i)))
+    // in-memory StringImage levels are rebased to 0; the wire format wants
+    // ABSOLUTE offsets into a capacity-sized right-justified array (the
+    // reference reader derives retained = capacity - levels[0],
+    // items_sketch_validate.go:116) — re-exporting a golden fixture must
+    // reproduce its original nonzero levels[0]
+    val shift =
+      graft.sketch.KllSketch.totalCapacity(img.k, img.numLevels) - img.items.length
+    (0 until img.numLevels).foreach(i => bb.putInt(img.levels(i) + shift))
     put(bb, img.minItem.get); put(bb, img.maxItem.get)
     img.items.foreach(put(bb, _))
     bb.array()

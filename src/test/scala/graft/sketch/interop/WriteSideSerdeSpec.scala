@@ -102,6 +102,61 @@ class WriteSideSerdeSpec extends AnyFunSuite {
     assert(HllSketch.fromDataSketchesImage(sk.toDataSketchesImage).estimate === sk.estimate)
   }
 
+  test("HLL updatable export: LIST/SET/HLL images round-trip through the golden reader") {
+    // LIST (n <= 8), SET (sparse, lgK > 7), dense HLL in all encodings —
+    // updatable form: compact flag clear, full 2^lgArr coupon/aux arrays,
+    // SET coupons at their findCoupon probe positions (the reference's
+    // updatable read path raw-copies the array)
+    for (n <- Seq(0, 1, 8)) {
+      val sk = hll(12, n)
+      val img = DataSketchesHll.read(sk.toDataSketchesUpdatableImage())
+      assert(img.mode === 0 && img.coupons.length === n, s"LIST n=$n")
+      assert(HllSketch.fromDataSketchesImage(sk.toDataSketchesUpdatableImage()).estimate
+        === sk.estimate)
+      // updatable LIST is exactly 8 + 4*8 bytes regardless of count
+      val uimg = sk.toDataSketchesUpdatableImage()
+      assert(uimg.length === 8 + 4 * 8)
+      assert((uimg(5) & 8) === 0, "compact flag must be clear")
+    }
+    val set = hll(12, 100)
+    assert(!set.isDense)
+    val setImg = set.toDataSketchesUpdatableImage()
+    val setRead = DataSketchesHll.read(setImg)
+    assert(setRead.mode === 1 && setRead.coupons.length === 100)
+    // array is full 2^lgArr with count at 3/4 load: lgArr 8 (4*100 > 3*128)
+    assert(setImg.length === 12 + 4 * (1 << 8))
+    assert(HllSketch.fromDataSketchesImage(setImg).estimate === set.estimate)
+    // probe-position invariant: every coupon sits where findCoupon lands it
+    val lgArr = setImg(4).toInt
+    val mask = (1 << lgArr) - 1
+    val bbs = java.nio.ByteBuffer.wrap(setImg).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val arr = Array.tabulate(1 << lgArr)(i => bbs.getInt(12 + 4 * i))
+    arr.zipWithIndex.filter(_._1 != 0).foreach { case (c, at) =>
+      var probe = c & mask
+      val stride = ((c & ((1 << 26) - 1)) >>> lgArr) | 1
+      var hops = 0
+      while (arr(probe) != c && hops <= mask) { probe = (probe + stride) & mask; hops += 1 }
+      assert(probe === at, s"coupon $c not at its probe position")
+    }
+    for (tgt <- 0 to 2; n <- Seq(5000, 200000)) {
+      val sk = hll(12, n)
+      assert(sk.isDense)
+      val u = sk.toDataSketchesUpdatableImage(tgt)
+      assert((u(5) & 8) === 0, "compact flag must be clear")
+      val img = DataSketchesHll.read(u)
+      assert(img.mode === 2 && img.tgtType === tgt)
+      assert(img.slots.sameElements(DataSketchesHll.read(sk.toDataSketchesImage(2)).slots),
+        s"updatable tgt=$tgt registers diverge at n=$n")
+      assert(HllSketch.fromDataSketchesImage(u).estimate === sk.estimate)
+      if (tgt == 0) {
+        // updatable HLL4 carries the full aux array even when empty
+        val lgAux = u(4).toInt
+        assert(lgAux >= 2)
+        assert(u.length === 40 + ((1 << 12) >>> 1) + 4 * (1 << lgAux))
+      }
+    }
+  }
+
   // ---- KLL items ----------------------------------------------------------
 
   private def kllOf(items: Seq[String], k: Int = 200): KllItemsSketch[String] = {
@@ -162,6 +217,61 @@ class WriteSideSerdeSpec extends AnyFunSuite {
         }
       }
     }
+  }
+
+  test("KLL export: wire offsets are absolute (levels[0] = capacity - retained)") {
+    // BYTE-level re-export: the golden fixtures carry nonzero levels[0]
+    // (kll_string_n1000_java.sk has levels[0]=98); reference readers derive
+    // retained = computeTotalItemCapacity(k,m,numLevels) - levels[0]
+    // (items_sketch_validate.go:116), so a 0-rebased export mis-parses in
+    // the actual Java/C++/Go libraries. writeString(readString(x)) must be
+    // byte-identical to x, nonzero offsets included.
+    for (n <- Seq(100, 1000, 10000, 100000, 1000000)) {
+      val path = Paths.get(javaDir, s"kll_string_n${n}_java.sk")
+      assume(Files.exists(path))
+      val bytes = Files.readAllBytes(path)
+      val re = DataSketchesKll.writeString(DataSketchesKll.readString(bytes))
+      assert(java.util.Arrays.equals(re, bytes), s"re-export not byte-identical at n=$n")
+      if (n >= 1000) {
+        val lvl0 = java.nio.ByteBuffer.wrap(bytes, 20, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        assert(lvl0 > 0, s"fixture n=$n should carry a nonzero levels[0]")
+      }
+    }
+    // engine exports (items + doubles) must satisfy the same identity
+    val sk = kllOf((0 until 10000).map(i => f"v$i%05d"))
+    val img = sk.toDataSketchesImage
+    val k = java.nio.ByteBuffer.wrap(img, 4, 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort.toInt
+    val numLevels = img(18).toInt
+    val lvl0 = java.nio.ByteBuffer.wrap(img, 20, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    val retained = DataSketchesKll.readString(img).items.length
+    assert(lvl0 === graft.sketch.KllSketch.totalCapacity(k, numLevels) - retained)
+    assert(lvl0 > 0, "estimation-mode engine export must be right-justified")
+
+    val dsk = new graft.sketch.KllSketch(200)
+    (0 until 10000).foreach(i => dsk.update(i.toDouble))
+    val dimg = dsk.toDataSketchesImage
+    val dNumLevels = dimg(18).toInt
+    val dLvl0 = java.nio.ByteBuffer.wrap(dimg, 20, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    val dRetained = DataSketchesKll.readDoubles(dimg).items.length
+    assert(dLvl0 === graft.sketch.KllSketch.totalCapacity(200, dNumLevels) - dRetained)
+    assert(dLvl0 > 0)
+  }
+
+  test("KLL level capacity matches the reference integer formula (round-half-up)") {
+    // intCapAuxAux: (2k << depth) / 3^depth, then (x+1)>>1 — disagrees with
+    // ceil at e.g. k=200 depth=1 (133 vs 134)
+    assert(graft.sketch.KllSketch.levelCapacity(200, 2, 0) === 133)
+    assert(graft.sketch.KllSketch.levelCapacity(200, 1, 0) === 200)
+    assert(graft.sketch.KllSketch.levelCapacity(200, 3, 0) === 89)
+    // the fixture anchor: capacity(200, m=8, numLevels=3) = 422 and
+    // kll_string_n1000_java.sk retains 324 items with levels[0]=98
+    assert(graft.sketch.KllSketch.totalCapacity(200, 3) === 422)
+    // deep levels floor at m=8
+    assert(graft.sketch.KllSketch.levelCapacity(200, 12, 0) === 8)
   }
 
   // ---- Frequencies ---------------------------------------------------------
