@@ -705,6 +705,107 @@ object SparkEntry {
           lit(plantedFound).as("planted_hot_found"),
           lit(saltBoundsHot).as("planted_salt_ok"),
           lit(missedHot == 0).as("real_nfn_ok"))
+    }),
+
+    // K13/K14 write-side KLL-doubles interop under the driver (q26's
+    // pattern for HLL): per-group engine sketches exported to the
+    // Apache DataSketches compact layout (kll_to_ds), re-imported
+    // (kll_from_ds), quantiles must survive the round trip EXACTLY
+    // (state-preserving transfer, no replay) and sit within the
+    // published rank error of Spark-computed exact ranks; wire_ok
+    // asserts the reference reader's offset convention on the actual
+    // exported bytes (levels[0] = capacity - retained,
+    // items_sketch_validate.go:116).
+    "q32_sketch_kll_doubles_interop" -> ((s, dir) => {
+      import graft.functions._
+      val eps = 0.0165 // k=200 normalized rank error (K10)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
+      val ranks = array(lit(0.25), lit(0.5), lit(0.75))
+      val sks = li.groupBy(col("l_returnflag"))
+        .agg(kll_sketch_agg(col("v"), 200).as("sk"), count(lit(1)).as("n"))
+        .withColumn("ds", kll_to_ds(col("sk")))
+        .withColumn("qs", kll_quantiles(col("sk"), ranks))
+        .withColumn("qrt", kll_quantiles(kll_from_ds(col("ds")), ranks))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // wire invariant over the actual exported images (3 groups)
+      val wireOk = sks.select(col("ds")).collect().forall { r =>
+        val img = r.getAs[Array[Byte]](0)
+        val d = graft.sketch.interop.DataSketchesKll.readDoubles(img)
+        val lvl0 = java.nio.ByteBuffer.wrap(img, 20, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        img(2) == 15 && d.n > d.k &&
+          lvl0 == graft.sketch.KllSketch.totalCapacity(d.k, d.numLevels) - d.items.length &&
+          lvl0 > 0
+      }
+      def okRank(q: Column, r: Double): Column =
+        (sum(when(col("v") <= q, 1L).otherwise(0L)).cast("double") / count(lit(1))
+          >= r - eps)
+      li.join(sks.select(col("l_returnflag"), col("n"), col("qs"), col("qrt")),
+          Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(first(col("n")).as("n"),
+          coalesce(bool_and(col("qs") === col("qrt")), lit(false)).as("roundtrip_exact"),
+          okRank(element_at(col("qrt"), 1), 0.25).as("ok_q25"),
+          okRank(element_at(col("qrt"), 2), 0.5).as("ok_q50"),
+          okRank(element_at(col("qrt"), 3), 0.75).as("ok_q75"))
+        .select(col("l_returnflag"), col("n"), col("roundtrip_exact"),
+          lit(wireOk).as("wire_ok"), col("ok_q25"), col("ok_q50"), col("ok_q75"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // F10/F12 + K13 write-side export under the driver: engine-built
+    // Frequencies (strings) and KLL-string sketches exported in the
+    // reference layouts and re-read through the golden-fixture readers —
+    // estimates/quantiles must survive exactly; the Frequencies exact
+    // regime must reproduce Spark-computed exact counts; the KLL-string
+    // wire offsets must satisfy the reference's capacity convention; and
+    // writeString(readString(x)) over the Java golden fixture must be
+    // BYTE-identical (nonzero levels[0] included — the ADVICE r3 defect).
+    "q33_sketch_write_side_export" -> ((s, dir) => {
+      import graft.functions._
+      import graft.sketch.{FreqSketch, KllItemsSketch, KllSketch}
+      import graft.sketch.interop.{DataSketchesFreq, DataSketchesKll}
+      val ev = t(s, dir, "events").select(col("event_type").as("v"))
+      val row = ev.agg(
+        freq_sketch_agg(col("v"), 10).as("fsk"),
+        kll_string_agg(col("v"), 200).as("ksk"),
+        count(lit(1)).as("n")).head()
+      val n = row.getLong(2)
+      val freq = FreqSketch.deserialize(row.getAs[Array[Byte]](0), FreqSketch.StringSerde)
+      val kll = KllItemsSketch.deserialize[String](row.getAs[Array[Byte]](1))
+      // Frequencies: export -> golden reader; exact regime (5 event types
+      // in a 2^10 map: offset 0) must reproduce exact counts
+      val fimg = freq.toDataSketchesImage(FreqSketch.DsStringWriter, FreqSketch.DsStringSize)
+      val fre = DataSketchesFreq.readStrings(fimg)
+      val exact = ev.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val freqExportOk = fre.streamWeight == n && !fre.empty &&
+        exact.keys.forall(k2 => fre.estimate(k2) == freq.estimate(k2))
+      val freqExact = fre.offset == 0 && exact.forall { case (k2, c) => fre.estimate(k2) == c }
+      // KLL-string: export -> golden reader; quantiles preserved exactly
+      val kimg = kll.toDataSketchesImage
+      val kre = DataSketchesKll.readString(kimg)
+      val kllExportOk = kre.n == n &&
+        Seq(0.25, 0.5, 0.75).forall(r => kre.quantile(r) == kll.quantile(r))
+      val lvl0 = java.nio.ByteBuffer.wrap(kimg, 20, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      val wireOk = kimg(2) == 15 &&
+        lvl0 == KllSketch.totalCapacity(kre.k, kre.numLevels) - kre.items.length
+      // byte-level oracle: the reference's own Java image re-exports
+      // byte-identically through the engine's writer
+      val golden = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        "/root/reference/serialization_test_data/java_generated_files/kll_string_n1000_java.sk"))
+      val goldenOk = java.util.Arrays.equals(
+        DataSketchesKll.writeString(DataSketchesKll.readString(golden)), golden)
+      // empty Frequencies image carries both historical empty bits (flags=5)
+      val emptyImg = new FreqSketch[String](10)
+        .toDataSketchesImage(FreqSketch.DsStringWriter, FreqSketch.DsStringSize)
+      val emptyOk = (emptyImg(5) & 0xff) == 5 && DataSketchesFreq.readStrings(emptyImg).empty
+      import s.implicits._
+      Seq((n, freqExportOk, freqExact, kllExportOk, wireOk, goldenOk, emptyOk))
+        .toDF("n", "freq_export_ok", "freq_exact", "kll_export_ok",
+          "kll_wire_ok", "golden_byte_identical", "empty_flags_ok")
     })
   )
 
@@ -987,6 +1088,14 @@ object SparkEntry {
        FROM cc GROUP BY node ORDER BY conv_id"""),
     "q31_salt_advisor" ->
       """SELECT COUNT(*) AS n_docs, TRUE AS planted_hot_found,
-         TRUE AS planted_salt_ok, TRUE AS real_nfn_ok FROM documents"""
+         TRUE AS planted_salt_ok, TRUE AS real_nfn_ok FROM documents""",
+    "q32_sketch_kll_doubles_interop" ->
+      """SELECT l_returnflag, COUNT(*) AS n, TRUE AS roundtrip_exact,
+         TRUE AS wire_ok, TRUE AS ok_q25, TRUE AS ok_q50, TRUE AS ok_q75
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q33_sketch_write_side_export" ->
+      """SELECT COUNT(*) AS n, TRUE AS freq_export_ok, TRUE AS freq_exact,
+         TRUE AS kll_export_ok, TRUE AS kll_wire_ok,
+         TRUE AS golden_byte_identical, TRUE AS empty_flags_ok FROM events"""
   )
 }
