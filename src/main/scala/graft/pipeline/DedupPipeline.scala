@@ -472,14 +472,20 @@ object DedupPipeline {
       coalesce(min(col("nfall")), lit(1L))).head()
     val earlyT1 = math.max(1L, math.ceil(minFpOverlap * floors.getLong(0)).toLong)
     val earlyT2 = math.max(1L, math.ceil(minFpOverlap * floors.getLong(1)).toLong)
+    // the estimate branch exists only for tier2PairRecall: with it off,
+    // tier-2 chain+star observations serve cluster connectivity through
+    // the minima links alone, and letting S-weighted hits through the
+    // gates would only add verify load (min(nfall) can be 1, making the
+    // early floor vacuous)
+    val estBranch = lit(tier2PairRecall) &&
+      col("est_shared") >= earlyT2 && col("n_obs") >= 4
     winnowPairStream(buckets, allPairsCap, subBucketSize, tier2PairRecall)
       .groupBy(col("a"), col("b"))
       .agg(sum(when(col("wt") === 1L, 1L).otherwise(0L)).as("t1_shared"),
         sum(when(col("wt") < WinnowLinkWeight, col("wt")).otherwise(0L)).as("est_shared"),
         sum(when(col("wt") < WinnowLinkWeight, 1L).otherwise(0L)).as("n_obs"),
         max(col("wt")).as("max_wt"))
-      .where(col("t1_shared") >= earlyT1 ||
-        (col("est_shared") >= earlyT2 && col("n_obs") >= 4) ||
+      .where(col("t1_shared") >= earlyT1 || estBranch ||
         col("max_wt") >= WinnowLinkWeight)
       // no broadcast hint: nFp is per-doc (10^9 rows at corpus scale) —
       // AQE broadcasts it when the actual size is small
@@ -493,9 +499,9 @@ object DedupPipeline {
         (least(col("nf1a"), col("nf1b")) > 0 &&
           col("t1_shared") >= least(col("nf1a"), col("nf1b")) * minFpOverlap) ||
         // unbiased whole-vocabulary estimate with a minimum-observation
-        // guard (single S-weighted hits are noise) — only produced when
-        // tier2PairRecall is on
-        (col("est_shared") >= least(col("nfalla"), col("nfallb")) * minFpOverlap &&
+        // guard (single S-weighted hits are noise) — tier2PairRecall only
+        (lit(tier2PairRecall) &&
+          col("est_shared") >= least(col("nfalla"), col("nfallb")) * minFpOverlap &&
           col("n_obs") >= 4) ||
         // sub-bucket minima links: connectivity is structural, not gated
         col("max_wt") >= WinnowLinkWeight)

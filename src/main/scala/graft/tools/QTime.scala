@@ -2,9 +2,13 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 object QTime {
   def main(args: Array[String]): Unit = {
+    // mirror graft.Bench's session so timings are comparable to BENCH_r*.json
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "256"))
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
