@@ -114,6 +114,11 @@ object Bench {
     // convs — the driver-side Seq would not fit; content differs from the
     // old driver-generated corpora, hence the new cache key)
     val corpusDir = s"/tmp/graft-bench-corpusd-$nConvs"
+    // verified edges + node list for the CC A/B children: ONE pipeline
+    // execution here (untimed) so both width legs of the A/B time only
+    // the CC stage
+    val edgesDir = s"$corpusDir-edges"
+    val nodesDir = s"$corpusDir-nodes"
     val nTurns = {
       val s = session(cpus)
       try {
@@ -122,7 +127,22 @@ object Bench {
           Transcripts.generateDf(s, nConvs).write
             .mode("overwrite").parquet(corpusDir)
         }
-        s.read.parquet(corpusDir).count()
+        val n = s.read.parquet(corpusDir).count()
+        if (!new java.io.File(s"$edgesDir/_SUCCESS").exists()) {
+          val docs = DedupPipeline.buildDocs(s.read.parquet(corpusDir))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val sigs = DedupPipeline.signatures(docs, cfg)
+            .select(org.apache.spark.sql.functions.col("conv_id"),
+              org.apache.spark.sql.functions.col("minhash"))
+          DedupPipeline.verifyPairs(
+              DedupPipeline.candidatePairs(DedupPipeline.bands(sigs, cfg), cfg), docs, cfg)
+            .select(org.apache.spark.sql.functions.col("a"),
+              org.apache.spark.sql.functions.col("b"))
+            .write.mode("overwrite").parquet(edgesDir)
+          docs.select(org.apache.spark.sql.functions.col("conv_id"))
+            .write.mode("overwrite").parquet(nodesDir)
+        }
+        n
       } finally s.stop()
     }
 
@@ -131,32 +151,37 @@ object Bench {
     // and a cores-proportional heap CLAMPED at 12g — on this box G1 falls
     // off a cliff well below half the physical RAM (measured: the identical
     // 32-core pipeline run is 46.6 s at -Xmx8g and 225 s at -Xmx48g).
-    def dedupJvm(cores: Int, repeats: Int): (Double, String) = {
+    def spawnChild(cores: Int, mainClass: String, extraArgs: Seq[String],
+                   resultPrefix: String): Option[String] = {
       val javaBin = System.getProperty("java.home") + "/bin/java"
       val memGb = math.min(12, math.max(4, cores))
-      def spawn(cp: String): Option[Double] = {
+      def once(cp: String): Option[String] = {
         val cmd = Seq(javaBin) ++ addOpens ++ Seq(
           s"-Xmx${memGb}g",
           s"-XX:ActiveProcessorCount=$cores",
           "-Dspark.ui.enabled=false",
-          "-cp", cp,
-          "graft.tools.DedupOnce", cores.toString, corpusDir, repeats.toString, ShufflePartitions)
+          "-cp", cp, mainClass) ++ extraArgs
         val pb = new ProcessBuilder(cmd: _*)
         pb.redirectErrorStream(true)
         val proc = pb.start()
         val out = new String(proc.getInputStream.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
         val code = proc.waitFor()
-        val parsed = out.linesIterator.find(_.startsWith("DEDUP_ONCE_SECONDS="))
-          .map(_.stripPrefix("DEDUP_ONCE_SECONDS=").toDouble)
+        val parsed = out.linesIterator.find(_.startsWith(resultPrefix))
+          .map(_.stripPrefix(resultPrefix))
         if (parsed.isEmpty)
-          System.err.println(s"[bench] child JVM (cores=$cores) produced no result, " +
-            s"exit=$code; tail:\n${out.linesIterator.toSeq.takeRight(15).mkString("\n")}")
+          System.err.println(s"[bench] child JVM ($mainClass cores=$cores) produced no " +
+            s"result, exit=$code; tail:\n${out.linesIterator.toSeq.takeRight(15).mkString("\n")}")
         parsed
       }
-      spawn(childClasspath())
-        .orElse(spawn(sys.props.getOrElse("java.class.path", "")))
-        .map((_, "child-jvm"))
+      once(childClasspath()).orElse(once(sys.props.getOrElse("java.class.path", "")))
+    }
+
+    def dedupJvm(cores: Int, repeats: Int): (Double, String) = {
+      spawnChild(cores, "graft.tools.DedupOnce",
+        Seq(cores.toString, corpusDir, repeats.toString, ShufflePartitions),
+        "DEDUP_ONCE_SECONDS=")
+        .map(s => (s.toDouble, "child-jvm"))
         .getOrElse {
           // in-process last resort: numbers from here inherit THIS JVM's heap
           // and scheduler — mark them so downstream grading can tell.
@@ -176,13 +201,15 @@ object Bench {
         }
     }
 
-    // single-box kernel ceiling FIRST (machine idle): the signature
-    // kernel's own 8→32 ratio bounds any end-to-end efficiency here —
-    // one shared DRAM bus vs a real cluster's per-executor channels —
-    // so the recorded efficiency is readable against it
-    val kernelCeiling =
-      try graft.tools.CpuScale.ceiling8to32()
-      catch { case _: Throwable => -1.0 }
+    // Direct DRAM bandwidth at both widths (stream triad, graft.tools
+    // .MemBw): on this box bandwidth SATURATES by 8 threads and FALLS at
+    // 32 (measured 45.5 → 24.9 GB/s) — the quantitative form of the
+    // single-box ceiling argument: a perfectly bandwidth-bound job cannot
+    // beat membw32/(4·membw8) here, while a real 4N-executor cluster
+    // brings 4x memory channels.
+    val (membw8, membw32) =
+      try { (graft.tools.MemBw.bandwidthGbps(8), graft.tools.MemBw.bandwidthGbps(32)) }
+      catch { case _: Throwable => (-1.0, -1.0) }
 
     // INTERLEAVED PAIRED legs: this shared VM drifts ±20-30% on a scale
     // of minutes (identical binaries measured 49.5 s and 65.5 s apart),
@@ -191,12 +218,28 @@ object Bench {
     // between. Each round times high then low back-to-back — both legs
     // sample the same machine state — and the reported efficiency is the
     // MEDIAN of the per-round paired ratios. Throughput still reports
-    // the best leg times.
-    val rounds = (1 to 3).map { _ =>
+    // the best leg times. The signature-kernel ceiling probe runs INSIDE
+    // the loop, once per pair (r3's between-runs probe swung 0.676↔0.861;
+    // sampling it in the same window as the legs it bounds, median
+    // reported, gives efficiency_vs_ceiling a stable denominator).
+    // adaptive pair count: 3 pairs normally; when a host spike smears the
+    // ratios apart (observed: one pair read 0.244 while its neighbors read
+    // 0.62/0.72), add up to 2 more pairs so the median stands on agreeing
+    // samples rather than on luck
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, String, String, Double)]
+    def runPair(): Unit = {
+      val ceil = try graft.tools.CpuScale.probe8to32()
+                 catch { case _: Throwable => -1.0 }
       val (th, ph) = dedupJvm(cpus, 1)
       val (tl, pl) = dedupJvm(lowCores, 1)
-      (tl, th, pl, ph)
+      rounds += ((tl, th, pl, ph, ceil))
     }
+    (1 to 3).foreach(_ => runPair())
+    def ratioSpread(): Double = {
+      val rs = rounds.map(r => r._1 / (4.0 * r._2)).sorted
+      rs.last - rs.head
+    }
+    while (rounds.length < 5 && ratioSpread() > 0.15) runPair()
     val secLow = rounds.map(_._1).min
     val secHigh = rounds.map(_._2).min
     val protos = rounds.flatMap(r => Seq(r._3, r._4)).distinct
@@ -205,9 +248,56 @@ object Bench {
     val tpHigh = nTurns / secHigh
     val ratios = rounds.map(r => r._1 / (4.0 * r._2)).sorted
     val eff = ratios(ratios.length / 2)
+    val ceilings = rounds.map(_._5).filter(_ > 0).sorted
+    val kernelCeiling = if (ceilings.nonEmpty) ceilings(ceilings.length / 2) else -1.0
+    val ceilingSpread =
+      if (ceilings.nonEmpty) ceilings.last - ceilings.head else -1.0
+    // eff-vs-ceiling computed WITHIN each pair (ratio and probe sampled in
+    // the same machine window), median across pairs — host drift moves the
+    // two numbers of a pair together, so the per-pair quotient is the
+    // stable form of the comparison
+    val pairedVsCeil = rounds
+      .filter(_._5 > 0)
+      .map(r => (r._1 / (4.0 * r._2)) / r._5).sorted
+    val effVsCeil =
+      if (pairedVsCeil.nonEmpty) pairedVsCeil(pairedVsCeil.length / 2)
+      else if (kernelCeiling > 0) eff / kernelCeiling
+      else -1.0
+
+    // CC A/B at bench scale (VERDICT r3 #4): driver-UF vs distributed
+    // large-star/small-star on the same verified edges, both widths, in
+    // executor-sized child JVMs. Failure leaves the block empty rather
+    // than failing the bench.
+    def ccAb(cores: Int): Option[(Long, Double, Double, Boolean)] =
+      spawnChild(cores, "graft.tools.CcAb",
+        Seq(cores.toString, edgesDir, nodesDir, ShufflePartitions), "CC_AB=")
+        .flatMap { s =>
+          val m = s.split(",").map(_.split(":")).collect {
+            case Array(k, v) => k -> v
+          }.toMap
+          try Some((m("edges").toLong, m("driver").toDouble,
+            m("star").toDouble, m("match").toBoolean))
+          catch { case _: Throwable => None }
+        }
+    val ccHigh = ccAb(cpus)
+    val ccLow = ccAb(lowCores)
+    val ccBlock = (ccHigh, ccLow) match {
+      case (Some((e, dH, sH, mH)), Some((_, dL, sL, mL))) =>
+        f""","cc_distributed":{"edges":$e,"driver_sec_low":$dL%.3f,"driver_sec_high":$dH%.3f,""" +
+        f""""driver_eff":${dL / (4.0 * dH)}%.3f,"star_sec_low":$sL%.3f,"star_sec_high":$sH%.3f,""" +
+        f""""star_eff":${sL / (4.0 * sH)}%.3f,"assignments_match":${mH && mL}}"""
+      case _ => ""
+    }
 
     // --- headline queries on the driver-provided tables -------------------
     val spark = session(cpus)
+    // untimed JIT/codegen warm-up: the alphabetically-first heavy query
+    // (q09, winnow) otherwise pays the session's first-pipeline compilation
+    // (VERDICT r3 #5) — run the full dedup dataflow once on a tiny corpus
+    try DedupPipeline.run(Transcripts.generateDf(spark, 2000), cfg).count()
+    catch { case _: Throwable => }
+    DedupPipeline.unpersistIntermediates(spark)
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try timed { fn(spark, sfDir).count() } catch { case _: Throwable => -1.0 }
       name -> sec
@@ -224,8 +314,14 @@ object Bench {
       f""""scaling_efficiency":$eff%.3f,""" +
       s""""paired_ratios":[${ratios.map(r => f"$r%.3f").mkString(",")}],""" +
       f""""kernel_ceiling_8_32":$kernelCeiling%.3f,""" +
-      f""""efficiency_vs_ceiling":${if (kernelCeiling > 0) eff / kernelCeiling else -1.0}%.3f,""" +
-      f""""protocol":"$protocol"}"""
+      s""""kernel_ceilings":[${ceilings.map(c => f"$c%.3f").mkString(",")}],""" +
+      f""""kernel_ceiling_spread":$ceilingSpread%.3f,""" +
+      f""""efficiency_vs_ceiling":$effVsCeil%.3f,""" +
+      s""""paired_vs_ceiling":[${pairedVsCeil.map(r => f"$r%.3f").mkString(",")}],""" +
+      f""""membw_gbps_8":$membw8%.1f,"membw_gbps_32":$membw32%.1f,""" +
+      f""""membw_ratio_8_32":${if (membw8 > 0) membw32 / membw8 else -1.0}%.3f""" +
+      ccBlock +
+      f""","protocol":"$protocol"}"""
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup":$dedup}"""
     println(line)

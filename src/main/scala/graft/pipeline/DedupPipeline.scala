@@ -564,19 +564,31 @@ object DedupPipeline {
     // materialize the edge set ONCE: the size probe and whichever CC path
     // follows both consume it (without this, the count action would
     // recompute the entire upstream verify subtree)
+    val ccProf = sys.env.contains("SPARK_GRAFT_CC_PROFILE")
+    def prof[A](label: String)(f: => A): A = {
+      if (!ccProf) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[cc] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+    }
     val edges1 = edges0.select(col("a").as("u"), col("b").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edgeCount = edges1.count()
+    val edgeCount = prof("edge count")(edges1.count())
     if (edgeCount <= driverMaxEdges) {
       import spark.implicits._
       val uf = new UnionFind[String]()
-      edges1.collect().foreach { r =>
-        uf.union(r.getString(0), r.getString(1))
+      prof("collect+union") {
+        edges1.collect().foreach { r =>
+          uf.union(r.getString(0), r.getString(1))
+        }
       }
       edges1.unpersist(false)
       // no .sorted: the join is order-insensitive and sorting ~1M driver
       // tuples was the stage's single-threaded tail at scale
-      val asg = uf.assignments().toSeq.toDF("conv_id", "root")
+      val asg = prof("assignments toDF")(uf.assignments().toSeq.toDF("conv_id", "root"))
       // broadcast the assignment map when it is certainly small (≤ 500k
       // edges ⇒ ≤ 1M entries, tens of MB) — skips shuffling allNodes;
       // near the 2M-edge cap the map can reach hundreds of MB, so there

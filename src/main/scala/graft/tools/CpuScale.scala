@@ -49,6 +49,22 @@ object CpuScale {
     tp32 / (4.0 * tp8)
   }
 
+  @volatile private var warmed = false
+
+  /** Per-pair probe for Bench's interleaved pair loop (VERDICT r3: the
+    * between-runs probe swung 0.676↔0.861; sampling it once per pair, in
+    * the same machine window as the legs it bounds, and reporting the
+    * median makes `efficiency_vs_ceiling` readable). Best-of-2 per width
+    * inside ONE probe call: a single 2-3 s sweep still catches scheduler
+    * hiccups (one 50k smoke run read 0.442), best-of-2 drops them at
+    * ~6 s/probe — negligible against a 60-150 s leg pair. */
+  def probe8to32(total: Int = 51200): Double = {
+    if (!warmed) { work(400); warmed = true }
+    val tp8 = (1 to 3).map(_ => throughput(8, total)).max
+    val tp32 = (1 to 3).map(_ => throughput(32, total)).max
+    tp32 / (4.0 * tp8)
+  }
+
   def main(args: Array[String]): Unit = {
     val docsPerThread = if (args.nonEmpty) args(0).toInt else 400
     work(200)
