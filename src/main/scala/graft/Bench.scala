@@ -293,9 +293,17 @@ object Bench {
     val spark = session(cpus)
     // untimed JIT/codegen warm-up: the alphabetically-first heavy query
     // (q09, winnow) otherwise pays the session's first-pipeline compilation
-    // (VERDICT r3 #5) — run the full dedup dataflow once on a tiny corpus
-    try DedupPipeline.run(Transcripts.generateDf(spark, 2000), cfg).count()
-    catch { case _: Throwable => }
+    // (VERDICT r3 #5) — run the full dedup dataflow once on a tiny corpus,
+    // plus the winnow candidate path (its bucket/tier kernels are disjoint
+    // from the minhash pipeline q09 would otherwise compile first)
+    try {
+      val warm = Transcripts.generateDf(spark, 2000)
+      DedupPipeline.run(warm, cfg).count()
+      val warmDocs = DedupPipeline.buildDocs(warm)
+      DedupPipeline.verifyPairs(
+        DedupPipeline.winnowCandidatePairs(warmDocs, k = 8, w = 16, cfg,
+          minFpOverlap = 0.6), warmDocs, cfg).count()
+    } catch { case _: Throwable => }
     DedupPipeline.unpersistIntermediates(spark)
     spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

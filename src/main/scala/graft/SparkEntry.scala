@@ -622,10 +622,22 @@ object SparkEntry {
         .schema("conv_id STRING, turn_idx INT, ts TIMESTAMP, text STRING")
         .parquet(sharedTranscriptsDir(s, dir))
       val name = "q28docs_" + java.lang.Long.toHexString(System.nanoTime())
-      val q = StreamingDedup.sessionDocs(in, watermark = "1 minute", gap = "5 minutes")
-        .writeStream.format("memory").queryName(name)
-        .option("checkpointLocation", s"$base/ckpt")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      // state-store partition count is fixed at the stream's FIRST batch
+      // from the session shuffle-partition conf: at the bench's 256 the
+      // per-partition HDFS state commits dominate the query (measured
+      // 36+93 summed commit-seconds for 5001 sessions — 85 s wall under
+      // post-bench I/O pressure, 13 s of it streaming work); 32 state
+      // partitions fit this state size and cut the commit fan-out 8x.
+      // Production streams size this to their state volume, not to the
+      // batch shuffle width — scoped here, restored after.
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "32")
+        StreamingDedup.sessionDocs(in, watermark = "1 minute", gap = "5 minutes")
+          .writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
       q.awaitTermination()
       val streamed = s.table(name).where(col("conv_id") =!= "__sentinel__")
         .select(col("conv_id"), col("doc").as("doc_stream"))

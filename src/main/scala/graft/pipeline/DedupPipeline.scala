@@ -587,8 +587,15 @@ object DedupPipeline {
       }
       edges1.unpersist(false)
       // no .sorted: the join is order-insensitive and sorting ~1M driver
-      // tuples was the stage's single-threaded tail at scale
-      val asg = prof("assignments toDF")(uf.assignments().toSeq.toDF("conv_id", "root"))
+      // tuples was the stage's single-threaded tail at scale. parallelize
+      // (not toDF): the driver-side Catalyst row conversion of ~2·edges
+      // tuples was the NEXT single-threaded tail (measured 1.55 s of the
+      // 2.2 s stage at 395k edges) — parallelize ships raw string pairs
+      // and runs the conversion executor-side, 32-way
+      val asg = prof("assignments toDF")(
+        spark.sparkContext
+          .parallelize(uf.assignments().toSeq, 32)
+          .toDF("conv_id", "root"))
       // broadcast the assignment map when it is certainly small (≤ 500k
       // edges ⇒ ≤ 1M entries, tens of MB) — skips shuffling allNodes;
       // near the 2M-edge cap the map can reach hundreds of MB, so there
