@@ -72,7 +72,14 @@ object DedupPipeline {
   /** P2: transcripts → docs(conv_id, doc, n_turns, doc_len).
     * Stable turn ordering: array_sort over struct(turn_idx, ts, text) sorts
     * lexicographically by field order — deterministic tie-break per
-    * input_hint ("per-turn text equality under stable turn ordering"). */
+    * input_hint ("per-turn text equality under stable turn ordering").
+    *
+    * Layout note for the 10^12-turn table: store it BUCKETED by conv_id
+    * (bucketBy + sortBy at write time) and this stage's groupBy runs
+    * exchange-free — Spark's bucketed scan satisfies the aggregation's
+    * distribution requirement, so the one shuffle this stage pays on a
+    * scattered layout disappears entirely (pinned by PlanContractSpec
+    * "bucketed transcripts reconstruct docs with NO shuffle"). */
   def buildDocs(transcripts: DataFrame): DataFrame =
     transcripts
       .select(col("conv_id"), col("turn_idx"), col("ts"), col("text"))

@@ -76,4 +76,31 @@ class PlanContractSpec extends AnyFunSuite {
     val p = plan(asg)
     assert(!p.contains("CartesianProduct"), s"cartesian in pipeline:\n${p.take(2000)}")
   }
+
+  test("bucketed transcripts reconstruct docs with NO shuffle (100 TB layout)") {
+    // The production 10^12-turn table is stored bucketed by conv_id —
+    // Spark's bucketed scan then satisfies buildDocs' groupBy(conv_id)
+    // distribution requirement and the whole P2 stage runs exchange-free
+    // (the scattered-layout corpus pays exactly one shuffle; see
+    // BENCH/BASELINE.md docs-stage notes). Contract: no Exchange operator
+    // in the executed plan over the bucketed table; results identical to
+    // the scattered path.
+    val turns = Transcripts.generate(80)
+    val tdf = Transcripts.asDataFrame(spark, turns, 5)
+    val tbl = "graft_bucketed_transcripts"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    tdf.write.bucketBy(8, "conv_id").sortBy("conv_id", "turn_idx")
+      .format("parquet").saveAsTable(tbl)
+    try {
+      val docs = DedupPipeline.buildDocs(spark.table(tbl))
+      val p = plan(docs)
+      assert(!p.contains("Exchange"),
+        s"bucketed doc reconstruction must be shuffle-free:\n${p.take(2000)}")
+      val viaBuckets = docs.select("conv_id", "doc").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val viaShuffle = DedupPipeline.buildDocs(tdf).select("conv_id", "doc")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(viaBuckets === viaShuffle)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
