@@ -93,32 +93,66 @@ object PairVerify {
     * transient allocation instead so one multi-MB outlier cannot pin
     * tens of MB per executor thread for the application lifetime. */
   private final val RetainCap = 1 << 19 // 512k shingles ≈ 4 MB per buffer
+
+  /** One side's reusable state: the shingle buffer plus a LAST-SEEN memo.
+    * The verify stream arrives from a sort-merge join, so consecutive rows
+    * repeat one side's doc (a doc in p pairs is shingled once, not p
+    * times); the memo is gated by an exact byte compare (memcmp ≪ the
+    * rolling-hash shingling + sort it skips), keyed with (k, seed) so a
+    * config change in the same session can never serve stale shingles. */
+  private final class Side {
+    private var buf: Array[Long] = new Array[Long](2048) // retained, ≤ RetainCap
+    var res: Array[Long] = buf // the array holding the CURRENT row's shingles
+    var key: Array[Byte] = new Array[Byte](0) // copied bytes of the memoized doc
+    var keyLen: Int = -1
+    var n: Int = 0 // shingle count of the memoized doc
+    var fp: Long = 0L // its SimHash fingerprint
+    private var k: Int = -1
+    private var seed: Long = 0L
+
+    /** Memo valid for `d`? On a hit `res`/`n`/`fp` already describe it
+      * (only recompute writes buf, and it updates the memo key with it). */
+    def hit(d: UTF8String, kk: Int, sd: Long): Boolean =
+      keyLen == d.numBytes && k == kk && seed == sd &&
+        org.apache.spark.unsafe.array.ByteArrayMethods.arrayEquals(
+          key, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          d.getBaseObject, d.getBaseOffset, d.numBytes)
+
+    /** Recompute shingles + fingerprint for `d` and memoize — unless the
+      * doc exceeds RetainCap: then the buffer is transient (never retained,
+      * ADVICE r3) and the memo is invalidated instead. */
+    def recompute(d: UTF8String, kk: Int, sd: Long): Unit = {
+      val need = math.max(1, d.numBytes)
+      if (need > RetainCap) {
+        res = new Array[Long](need) // transient; buf stays bounded
+        keyLen = -1
+      } else {
+        if (buf.length < need) buf = new Array[Long](Integer.highestOneBit(need - 1) << 1)
+        res = buf
+        if (key.length < need) key = new Array[Byte](Integer.highestOneBit(need - 1) << 1)
+        org.apache.spark.unsafe.Platform.copyMemory(
+          d.getBaseObject, d.getBaseOffset,
+          key, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, d.numBytes)
+        keyLen = d.numBytes; k = kk; seed = sd
+      }
+      n = graft.core.Shingles.shinglesInto(d.getBaseObject, d.getBaseOffset, d.numBytes, kk, sd, res)
+      fp = graft.core.SimHash64.fingerprint(res, n)
+    }
+  }
+
   private final class Scratch {
-    var a: Array[Long] = new Array[Long](2048)
-    var b: Array[Long] = new Array[Long](2048)
-    def bufA(n: Int): Array[Long] = {
-      if (a.length >= n) a
-      else if (n > RetainCap) new Array[Long](n) // transient, not retained
-      else { a = new Array[Long](Integer.highestOneBit(n - 1) << 1); a }
-    }
-    def bufB(n: Int): Array[Long] = {
-      if (b.length >= n) b
-      else if (n > RetainCap) new Array[Long](n)
-      else { b = new Array[Long](Integer.highestOneBit(n - 1) << 1); b }
-    }
+    val a = new Side
+    val b = new Side
   }
   private val scratch: ThreadLocal[Scratch] =
     ThreadLocal.withInitial(() => new Scratch)
 
   def compute(a: UTF8String, b: UTF8String, k: Int, seed: Long): org.apache.spark.sql.catalyst.InternalRow = {
     val s = scratch.get()
-    val sa = s.bufA(math.max(1, a.numBytes))
-    val sb = s.bufB(math.max(1, b.numBytes))
-    val na = graft.core.Shingles.shinglesInto(a.getBaseObject, a.getBaseOffset, a.numBytes, k, seed, sa)
-    val nb = graft.core.Shingles.shinglesInto(b.getBaseObject, b.getBaseOffset, b.numBytes, k, seed, sb)
-    val j = graft.core.Shingles.jaccardSorted(sa, na, sb, nb)
-    val dist = graft.core.SimHash64.hammingDist(
-      graft.core.SimHash64.fingerprint(sa, na), graft.core.SimHash64.fingerprint(sb, nb))
+    if (!s.a.hit(a, k, seed)) s.a.recompute(a, k, seed)
+    if (!s.b.hit(b, k, seed)) s.b.recompute(b, k, seed)
+    val j = graft.core.Shingles.jaccardSorted(s.a.res, s.a.n, s.b.res, s.b.n)
+    val dist = graft.core.SimHash64.hammingDist(s.a.fp, s.b.fp)
     org.apache.spark.sql.catalyst.InternalRow(j, dist)
   }
 }
