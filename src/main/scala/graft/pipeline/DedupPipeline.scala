@@ -690,18 +690,136 @@ object DedupPipeline {
         coalesce(col("root"), col("conv_id")).as("cluster_id"))
   }
 
+  // ---- id-keyed internal path --------------------------------------------
+  //
+  // Between the scan and the final output the pipeline keys docs by
+  // id = xxhash64(conv_id) instead of the conv_id string. Motivation is
+  // byte traffic through the shuffle/sort stages: at high core counts the
+  // shared memory bus is the scarce resource (BENCH/BASELINE.md MemBw:
+  // per-thread DRAM bandwidth at 32 threads is ~7x lower than at 8), so a
+  // fixed 8-byte sort/join key in place of a variable-length UTF8 string
+  // (+16 bytes/row in UnsafeRow terms, plus pointer-chasing comparisons)
+  // directly lifts the wide-cluster legs. The banding window ALREADY
+  // ordered members by xxhash64(conv_id) — the id path just stops carrying
+  // the string alongside its own hash. conv_id strings re-enter through
+  // the verification join (they ride with the doc text, which dominates
+  // that join's bytes anyway), so no extra mapping join exists.
+  //
+  // Correctness: ids are verified globally unique with one cheap
+  // aggregation over the persisted docs (count vs count_distinct; at 10^6
+  // docs the collision probability is ~3e-8, at 10^9 ~3e-2 — the check is
+  // NOT optional); on a collision run() falls back to the string path,
+  // whose candidate order (xxhash64(conv_id), conv_id) the id order
+  // refines, producing the identical edge set when ids are unique.
+
+  /** P5, id form: bands(id, band_key). Same band keys as `bands`. */
+  private[pipeline] def bandsById(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+    val r = cfg.rowsPerBand
+    val keys = transform(
+      sequence(lit(0), lit(cfg.bands - 1)),
+      i => xxhash64(i, slice(col("minhash"), i * lit(r) + lit(1), lit(r))))
+    sigs.select(col("id"), explode(keys).as("band_key"))
+  }
+
+  /** P6, id form: chain+star per band bucket ordered by id — the same
+    * total order as the public path (id IS xxhash64(conv_id)), minus the
+    * string payload in the window sort. Returns (a, b) ids, a < b. */
+  private[pipeline] def candidatePairsById(bands: DataFrame, cfg: DedupConfig): DataFrame = {
+    def chainStar(df: DataFrame, parts: Seq[String]): DataFrame = {
+      val pcols = parts.map(col)
+      val w = Window.partitionBy(pcols: _*).orderBy(col("id"))
+      val wAll = Window.partitionBy(pcols: _*).orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df
+        .withColumn("prev", lag(col("id"), 1).over(w))
+        .withColumn("bmin", first(col("id")).over(wAll))
+        .select(explode(array(
+          struct(col("prev").as("a"), col("id").as("b")),
+          struct(when(col("bmin") =!= col("id") && col("bmin") =!= col("prev"),
+            col("bmin")).as("a"), col("id").as("b")))).as("e"))
+        .where(col("e.a").isNotNull)
+        .where(col("e.a") =!= col("e.b"))
+        .select(least(col("e.a"), col("e.b")).as("a"),
+          greatest(col("e.a"), col("e.b")).as("b"))
+    }
+    if (cfg.bandSalt > 1) {
+      val salted = bands.withColumn("salt", pmod(col("id"), lit(cfg.bandSalt.toLong)))
+      val within = chainStar(salted.select(col("band_key"), col("salt"), col("id")),
+        Seq("band_key", "salt"))
+      val minima = salted.groupBy(col("band_key"), col("salt"))
+        .agg(min(col("id")).as("id"))
+      val across = chainStar(minima.select(col("band_key"), col("id")), Seq("band_key"))
+      within.unionByName(across).distinct()
+    } else {
+      chainStar(bands.select(col("band_key"), col("id")), Seq("band_key")).distinct()
+    }
+  }
+
+  /** P7, id form: candidate (a, b) id pairs verified against docs carrying
+    * (id, conv_id, doc). Output schema and orientation (a < b
+    * lexicographically by conv_id) match `verifyPairs` exactly — the
+    * strings re-enter via the doc join, not a separate mapping. */
+  private[pipeline] def verifyPairsById(candPairs: DataFrame, docsWithId: DataFrame,
+                                        cfg: DedupConfig): DataFrame = {
+    val parts = candPairs.sparkSession.sessionState.conf.numShufflePartitions
+    val spread = trackPersist(candPairs.repartition(parts, col("a")))
+    val candIds = spread.select(col("a").as("id"))
+      .unionByName(spread.select(col("b").as("id")))
+      .distinct()
+    val d = docsWithId.select(col("id"), col("conv_id"), col("doc"))
+      .join(candIds, Seq("id"), "left_semi")
+    spread
+      .join(d.select(col("id").as("a"), col("conv_id").as("ca"), col("doc").as("doc_a")), Seq("a"))
+      .join(d.select(col("id").as("b"), col("conv_id").as("cb"), col("doc").as("doc_b")), Seq("b"))
+      .withColumn("pv",
+        graft.functions.pair_verify(col("doc_a"), col("doc_b"), cfg.shingleK, cfg.seed))
+      .withColumn("jaccard", col("pv.jaccard"))
+      .where(col("jaccard") >= lit(cfg.tauJaccard))
+      .where(graft.functions.lcs_at_least(col("doc_a"), col("doc_b"),
+        least(lit(cfg.tauLcs),
+          (least(length(col("doc_a")), length(col("doc_b"))) / 2).cast("int"))))
+      .select(least(col("ca"), col("cb")).as("a"),
+        greatest(col("ca"), col("cb")).as("b"),
+        col("jaccard"),
+        col("pv.simhash_dist").as("simhash_dist"),
+        (col("pv.simhash_dist") <= lit(cfg.simhashMaxDist)).as("simhash_ok"))
+  }
+
   /** Full pipeline: transcripts → cluster_assignments(conv_id, cluster_id). */
   def run(transcripts: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
     // docs/sigs feed multiple downstream joins — persist so the signature
     // computation runs once, not once per consumer (the checkpointed
     // runner materializes to parquet instead)
-    val docs = trackPersist(buildDocs(transcripts))
+    val docs = trackPersist(buildDocs(transcripts)
+      .withColumn("id", xxhash64(col("conv_id"))))
     // banding needs only the minhash; dropping the shingle arrays (~16x
     // the minhash size) from the persisted footprint keeps the cache hot
-    val sigs = trackPersist(signatures(docs, cfg)
-      .select(col("conv_id"), col("minhash")))
-    val cand = candidatePairs(bands(sigs, cfg), cfg)
-    val verified = verifyPairs(cand, docs, cfg)
+    val sigs = trackPersist(
+      docs.withColumn("sig",
+          graft.functions.text_signature(col("doc"), cfg.shingleK, cfg.numHashes, cfg.seed))
+        .select(col("id"), col("sig.minhash").as("minhash")))
+    // id uniqueness guard. Deliberately reads the RAW conv_id column off
+    // the scan, NOT the docs frame: an action on `docs` here would
+    // materialize the docs cache as its own serialized job (cache write +
+    // immediate re-read of the full corpus — measured +15-20% on the
+    // 32-core leg, where memory traffic is the scarce resource), whereas
+    // the column-pruned scan-side check costs one small shuffle and lets
+    // docs + signatures materialize fused in the first real action.
+    val u = transcripts.select(col("conv_id")).distinct()
+      .agg(count(lit(1)), count_distinct(xxhash64(col("conv_id")))).head()
+    // measurement escape hatch: force the string path for A/B runs
+    val forceString = sys.env.contains("SPARK_GRAFT_STRING_PATH")
+    val verified =
+      if (!forceString && u.getLong(0) == u.getLong(1)) {
+        verifyPairsById(candidatePairsById(bandsById(sigs, cfg), cfg), docs, cfg)
+      } else {
+        // xxhash64 collision (probability ~n²/2^65): identical semantics on
+        // string keys; candidate order (xxhash64(conv_id), conv_id) is the
+        // order the id path refines
+        val sigsStr = trackPersist(signatures(docs, cfg)
+          .select(col("conv_id"), col("minhash")))
+        verifyPairs(candidatePairs(bands(sigsStr, cfg), cfg), docs, cfg)
+      }
     connectedComponents(verified, docs.select(col("conv_id")))
   }
 }
