@@ -37,7 +37,10 @@ object DedupOnce {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val cfg = DedupConfig()
-    val df = spark.read.parquet(corpusDir)
+    // bucketed corpus dirs (the production conv_id-bucketed layout) read
+    // through the catalog declaration — doc reconstruction is then
+    // exchange-free; scattered dirs read as plain parquet
+    val df = graft.pipeline.BucketedCorpus.readAuto(spark, corpusDir)
     df.count() // warm page cache
     DedupPipeline.run(df.where(col("conv_id") <= "conv-000200"), cfg).count() // JIT
     val best = (1 to repeats).map { _ =>
