@@ -113,23 +113,32 @@ object Bench {
     // "-d" corpora come from the DISTRIBUTED generator (required for 1M+
     // convs — the driver-side Seq would not fit; content differs from the
     // old driver-generated corpora, hence the new cache key)
-    val corpusDir = s"/tmp/graft-bench-corpusd-$nConvs"
+    val scatteredDir = s"/tmp/graft-bench-corpusd-$nConvs"
+    // the measured legs read the PRODUCTION layout: conv_id-bucketed
+    // (BucketedCorpus) — doc reconstruction runs exchange-free, as it
+    // would over the bucket-partitioned Iceberg table at 10^12 turns.
+    // SPARK_GRAFT_SCATTERED=1 measures the scattered layout instead.
+    val useBucketed = sys.env.getOrElse("SPARK_GRAFT_SCATTERED", "0") != "1"
+    val corpusDir = if (useBucketed) s"$scatteredDir-bucketed" else scatteredDir
     // verified edges + node list for the CC A/B children: ONE pipeline
     // execution here (untimed) so both width legs of the A/B time only
     // the CC stage
-    val edgesDir = s"$corpusDir-edges"
-    val nodesDir = s"$corpusDir-nodes"
+    val edgesDir = s"$scatteredDir-edges"
+    val nodesDir = s"$scatteredDir-nodes"
     val nTurns = {
       val s = session(cpus)
       try {
-        val marker = new java.io.File(s"$corpusDir/_SUCCESS")
+        val marker = new java.io.File(s"$scatteredDir/_SUCCESS")
         if (!marker.exists()) {
           Transcripts.generateDf(s, nConvs).write
-            .mode("overwrite").parquet(corpusDir)
+            .mode("overwrite").parquet(scatteredDir)
         }
-        val n = s.read.parquet(corpusDir).count()
+        if (useBucketed && !pipeline.BucketedCorpus.isBucketed(corpusDir)) {
+          pipeline.BucketedCorpus.write(s.read.parquet(scatteredDir), corpusDir)
+        }
+        val n = s.read.parquet(scatteredDir).count()
         if (!new java.io.File(s"$edgesDir/_SUCCESS").exists()) {
-          val docs = DedupPipeline.buildDocs(s.read.parquet(corpusDir))
+          val docs = DedupPipeline.buildDocs(s.read.parquet(scatteredDir))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val sigs = DedupPipeline.signatures(docs, cfg)
             .select(org.apache.spark.sql.functions.col("conv_id"),
@@ -193,7 +202,7 @@ object Bench {
             s"heap=${Runtime.getRuntime.maxMemory() / (1 << 20)}MiB")
           val s = session(cores)
           try {
-            val df = s.read.parquet(corpusDir)
+            val df = pipeline.BucketedCorpus.readAuto(s, corpusDir)
             df.count()
             DedupPipeline.run(df.where(org.apache.spark.sql.functions.col("conv_id") <= "conv-000200"), cfg).count()
             val best = (1 to repeats).map { _ =>
@@ -230,7 +239,19 @@ object Bench {
     // ratios apart (observed: one pair read 0.244 while its neighbors read
     // 0.62/0.72), add up to 2 more pairs so the median stands on agreeing
     // samples rather than on luck
-    val rounds = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, String, String, Double)]
+    final case class Pair(tl: Double, th: Double, pl: String, ph: String,
+                          ceil: Double, stealH: Double, stealL: Double) {
+      def ratio: Double = tl / (4.0 * th)
+      /** Hypervisor steal share of either leg's window — the direct
+        * measurement of host interference (StealMeter). */
+      def maxSteal: Double = math.max(stealH, stealL)
+    }
+    // legs whose windows show more steal than this are "dirty": the
+    // hypervisor measurably withheld cycles DURING the measurement.
+    // Threshold from observed data: clean windows on this VM run
+    // 0.5-2% steal share, interference bursts 5-15%.
+    val StealGate = sys.env.getOrElse("SPARK_GRAFT_STEAL_GATE", "0.04").toDouble
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[Pair]
     def runPair(): Unit = {
       val ceil = try graft.tools.CpuScale.probe8to32()
                  catch { case _: Throwable => -1.0 }
@@ -238,32 +259,40 @@ object Bench {
       // 60-110 s execution is one host spike away from a smeared ratio;
       // the min over two back-to-back executions in the same JVM rejects
       // most of them at ~1.6x leg cost
-      val (th, ph) = dedupJvm(cpus, 2)
-      val (tl, pl) = dedupJvm(lowCores, 2)
-      rounds += ((tl, th, pl, ph, ceil))
+      val ((th, ph), wH) = graft.tools.StealMeter.measure(dedupJvm(cpus, 2))
+      val ((tl, pl), wL) = graft.tools.StealMeter.measure(dedupJvm(lowCores, 2))
+      rounds += Pair(tl, th, pl, ph, ceil, wH.stealShare, wL.stealShare)
     }
     (1 to 3).foreach(_ => runPair())
     // keep adding pairs (to 7) until the MIDDLE THREE sorted ratios agree
     // to 0.15 — the median then stands on a consensus window, not on luck
     // (one full run this round drew ratios 0.21-0.78 from host drift)
+    // steal-gated consensus: pairs whose legs ran under measured
+    // hypervisor interference don't vote when >= 2 clean pairs exist
+    def cleanRounds: Seq[Pair] = {
+      val clean = rounds.filter(r => r.maxSteal >= 0 && r.maxSteal <= StealGate).toSeq
+      if (clean.size >= 2) clean else rounds.toSeq
+    }
     def midSpread(): Double = {
-      val rs = rounds.map(r => r._1 / (4.0 * r._2)).sorted
+      val rs = cleanRounds.map(_.ratio).sorted
       if (rs.length < 3) 0.0
       else {
         val lo = (rs.length - 3) / 2
         rs(lo + 2) - rs(lo)
       }
     }
-    while (rounds.length < 7 && midSpread() > 0.15) runPair()
-    val secLow = rounds.map(_._1).min
-    val secHigh = rounds.map(_._2).min
-    val protos = rounds.flatMap(r => Seq(r._3, r._4)).distinct
+    while (rounds.length < 7 &&
+      (midSpread() > 0.15 || cleanRounds.size < 2)) runPair()
+    val voting = cleanRounds
+    val secLow = rounds.map(_.tl).min
+    val secHigh = rounds.map(_.th).min
+    val protos = rounds.flatMap(r => Seq(r.pl, r.ph)).distinct
     val protocol = if (protos.size == 1) protos.head else protos.mkString("+")
     val tpLow = nTurns / secLow
     val tpHigh = nTurns / secHigh
-    val ratios = rounds.map(r => r._1 / (4.0 * r._2)).sorted
+    val ratios = voting.map(_.ratio).sorted
     val eff = ratios(ratios.length / 2)
-    val ceilings = rounds.map(_._5).filter(_ > 0).sorted
+    val ceilings = voting.map(_.ceil).filter(_ > 0).sorted
     val kernelCeiling = if (ceilings.nonEmpty) ceilings(ceilings.length / 2) else -1.0
     val ceilingSpread =
       if (ceilings.nonEmpty) ceilings.last - ceilings.head else -1.0
@@ -271,13 +300,45 @@ object Bench {
     // the same machine window), median across pairs — host drift moves the
     // two numbers of a pair together, so the per-pair quotient is the
     // stable form of the comparison
-    val pairedVsCeil = rounds
-      .filter(_._5 > 0)
-      .map(r => (r._1 / (4.0 * r._2)) / r._5).sorted
+    val pairedVsCeil = voting
+      .filter(_.ceil > 0)
+      .map(r => r.ratio / r.ceil).sorted
     val effVsCeil =
       if (pairedVsCeil.nonEmpty) pairedVsCeil(pairedVsCeil.length / 2)
       else if (kernelCeiling > 0) eff / kernelCeiling
       else -1.0
+
+    // The SECOND N→4N pair: 2 → 8 cores. The task's scaling criterion is
+    // "N and 4N executors"; on this 32-vCPU shared VM the 8→32 pair runs
+    // into the BOX, not the pipeline — the Spark-free signature kernel
+    // itself only scales 0.73-0.87 from 8→32 (CpuScale) and measured DRAM
+    // bandwidth FALLS from ~42 GB/s at 8 threads to ~25 at 32 (MemBw),
+    // while real added executors bring their own sockets and memory
+    // channels. At 2→8 cores the VM still has 4x independent capacity
+    // (bandwidth 22→42 GB/s, no oversubscription), so this pair is the
+    // faithful sandbox model of "adding executors"; it is recorded
+    // alongside — not instead of — the 8→32 protocol numbers.
+    val pair28 = if (sys.env.getOrElse("SPARK_GRAFT_PAIR28", "1") == "1") {
+      val membw2 = try graft.tools.MemBw.bandwidthGbps(2)
+                   catch { case _: Throwable => -1.0 }
+      // the 2-core leg runs ~8-10 min and integrates that much host
+      // weather; bracketing it with an 8-core leg on EACH side and
+      // reporting the efficiency against both (and their mean) carries
+      // the window-mismatch uncertainty in the JSON instead of hiding it
+      // (builder-measured spread across two single-pair samples: 0.66 vs
+      // 0.96, driven entirely by which window the short leg caught)
+      val ((t8b, p8b), w8b) = graft.tools.StealMeter.measure(dedupJvm(8, 1))
+      val ((t2a, p2), w2) = graft.tools.StealMeter.measure(dedupJvm(2, 1))
+      val ((t8c, p8c), w8c) = graft.tools.StealMeter.measure(dedupJvm(8, 1))
+      val t8m = (t8b + t8c) / 2.0
+      f""","pair_2_8":{"cores_low":2,"cores_high":8,"sec_low":$t2a%.3f,""" +
+      f""""sec_high_before":$t8b%.3f,"sec_high_after":$t8c%.3f,""" +
+      f""""efficiency":${t2a / (4.0 * t8m)}%.3f,""" +
+      f""""efficiency_range":[${t2a / (4.0 * math.max(t8b, t8c))}%.3f,${t2a / (4.0 * math.min(t8b, t8c))}%.3f],""" +
+      f""""turns_per_sec_low":${nTurns / t2a}%.1f,"turns_per_sec_high":${nTurns / math.min(t8b, t8c)}%.1f,""" +
+      f""""steal_low":${w2.stealShare}%.4f,"steal_high":[${w8b.stealShare}%.4f,${w8c.stealShare}%.4f],""" +
+      f""""membw_gbps_2":$membw2%.1f,"protocol":"${Seq(p8b, p2, p8c).distinct.mkString("+")}"}"""
+    } else ""
 
     // CC A/B at bench scale (VERDICT r3 #4): driver-UF vs distributed
     // large-star/small-star on the same verified edges, both widths, in
@@ -336,6 +397,11 @@ object Bench {
       f""""turns_per_sec_low":$tpLow%.1f,"turns_per_sec_high":$tpHigh%.1f,""" +
       f""""scaling_efficiency":$eff%.3f,""" +
       s""""paired_ratios":[${ratios.map(r => f"$r%.3f").mkString(",")}],""" +
+      // steal-gate transparency: every attempted pair's ratio with its
+      // measured hypervisor-steal share; only clean pairs vote above
+      s""""all_pair_ratios":[${rounds.map(r => f"${r.ratio}%.3f").mkString(",")}],""" +
+      s""""pair_steal":[${rounds.map(r => f"${r.maxSteal}%.4f").mkString(",")}],""" +
+      f""""steal_gate":$StealGate%.3f,"pairs_clean":${voting.size},"pairs_total":${rounds.size},""" +
       f""""kernel_ceiling_8_32":$kernelCeiling%.3f,""" +
       s""""kernel_ceilings":[${ceilings.map(c => f"$c%.3f").mkString(",")}],""" +
       f""""kernel_ceiling_spread":$ceilingSpread%.3f,""" +
@@ -343,6 +409,7 @@ object Bench {
       s""""paired_vs_ceiling":[${pairedVsCeil.map(r => f"$r%.3f").mkString(",")}],""" +
       f""""membw_gbps_8":$membw8%.1f,"membw_gbps_32":$membw32%.1f,""" +
       f""""membw_ratio_8_32":${if (membw8 > 0) membw32 / membw8 else -1.0}%.3f""" +
+      pair28 +
       ccBlock +
       f""","protocol":"$protocol"}"""
     val line =
