@@ -472,6 +472,41 @@ object DedupPipeline {
                            subBucketSize: Int = 64,
                            stopFpFreq: Int = 4096,
                            tier2PairRecall: Boolean = false): DataFrame = {
+    // id-keyed internals (same rationale as the minhash path): the tier-1
+    // pair stream is quadratic in template-family size — 6.5M weighted
+    // instances from 5k docs at sf0.1 — and every explode/shuffle/groupBy
+    // row carried two conv_id strings. Re-keying the SAME generic body by
+    // xxhash64(conv_id) makes those rows three fixed longs; the survivor
+    // set (3-4 orders of magnitude smaller) maps back through a join and
+    // re-orients lexicographically, so the output is unchanged. Guarded by
+    // the same uniqueness check + string fallback as run().
+    val u = docs.agg(count(lit(1)), count_distinct(xxhash64(col("conv_id")))).head()
+    if (u.getLong(0) == u.getLong(1) && !sys.env.contains("SPARK_GRAFT_STRING_PATH")) {
+      val idDocs = docs.select(xxhash64(col("conv_id")).as("conv_id"), col("doc"))
+      val idPairs = winnowCandidatePairsKeyed(idDocs, k, w, cfg, minFpOverlap,
+        allPairsCap, subBucketSize, stopFpFreq, tier2PairRecall)
+      val idMap = docs.select(xxhash64(col("conv_id")).as("k"), col("conv_id"))
+      idPairs
+        .join(idMap.select(col("k").as("a"), col("conv_id").as("ca")), Seq("a"))
+        .join(idMap.select(col("k").as("b"), col("conv_id").as("cb")), Seq("b"))
+        .select(least(col("ca"), col("cb")).as("a"),
+          greatest(col("ca"), col("cb")).as("b"))
+    } else {
+      winnowCandidatePairsKeyed(docs, k, w, cfg, minFpOverlap,
+        allPairsCap, subBucketSize, stopFpFreq, tier2PairRecall)
+    }
+  }
+
+  /** The winnow candidate body, generic over the `conv_id` column type
+    * (string corpus keys or 64-bit ids — every operation on the key is
+    * type-agnostic: sort_array, xxhash64 salting, least/greatest). */
+  private def winnowCandidatePairsKeyed(docs: DataFrame, k: Int, w: Int,
+                           cfg: DedupConfig,
+                           minFpOverlap: Double,
+                           allPairsCap: Int,
+                           subBucketSize: Int,
+                           stopFpFreq: Int,
+                           tier2PairRecall: Boolean): DataFrame = {
     val buckets = trackPersist(winnowBuckets(docs, k, w)
       .where(col("m") <= stopFpFreq))
     // kept vocabulary sizes per doc (the prefilter denominators), split by
