@@ -175,6 +175,12 @@ object Bench {
           "-Dspark.ui.enabled=false",
           "-cp", cp, mainClass) ++ extraArgs
         val pb = new ProcessBuilder(cmd: _*)
+        // local-cluster legs (DedupOnce "NxC" specs) launch standalone
+        // executors from SPARK_HOME: the raw-java launcher needs the scala
+        // version pinned (bin scripts set it; we don't go through them) and
+        // the worker dir kept out of SPARK_HOME
+        pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+        pb.environment().put("SPARK_WORKER_DIR", "/tmp/graft-worker")
         pb.redirectErrorStream(true)
         val proc = pb.start()
         val out = new String(proc.getInputStream.readAllBytes(),
@@ -318,6 +324,44 @@ object Bench {
     // (bandwidth 22→42 GB/s, no oversubscription), so this pair is the
     // faithful sandbox model of "adding executors"; it is recorded
     // alongside — not instead of — the 8→32 protocol numbers.
+    // Second form of the N→4N pair — REAL executor-count scaling:
+    // `local-cluster[2,1,mem]` vs `local-cluster[8,1,mem]` runs standalone
+    // executors as separate JVMs (own heaps, shuffle over netty), varying
+    // ONLY the executor count with per-executor cores and heap fixed —
+    // literally "N executors vs 4N executors". 2x1 (not 1x2) as the low
+    // leg so BOTH sides are multi-executor and pay network shuffle — a
+    // single-executor baseline shuffles inside its own JVM and biases the
+    // ratio down in a way a real N→4N cluster doesn't (measured: 1x2→4x2
+    // 0.611 vs 2x1→8x1 0.618 on the same corpus/window). The 2→8-thread
+    // range is where this VM still has 4x independent capacity (MemBw),
+    // so the pair is not box-capped like 8→32. Bracketed like pair_2_8
+    // and recorded ALONGSIDE it (the in-process pair stays: it is free of
+    // executor-launch machinery and comparable to r2/r3 history).
+    def execLeg(spec: String, totalCores: Int): Option[(Double, graft.tools.StealMeter.Window)] = {
+      val r = graft.tools.StealMeter.measure(
+        spawnChild(totalCores, "graft.tools.DedupOnce",
+          Seq(spec, corpusDir, "1", ShufflePartitions), "DEDUP_ONCE_SECONDS="))
+      r._1.map(s => (s.toDouble, r._2))
+    }
+    val pairExec: Option[(String, Double)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_PAIR_EXEC", "1") == "1") {
+        for {
+          (t8b, w8b) <- execLeg("8x1", 8)
+          (t2, w2) <- execLeg("2x1", 2)
+          (t8c, w8c) <- execLeg("8x1", 8)
+        } yield {
+          val t8m = (t8b + t8c) / 2.0
+          (f""","pair_exec_2_8":{"execs_low":2,"execs_high":8,"cores_per_exec":1,""" +
+          f""""exec_mem_mb":${sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192")},""" +
+          f""""sec_low":$t2%.3f,"sec_high_before":$t8b%.3f,"sec_high_after":$t8c%.3f,""" +
+          f""""efficiency":${t2 / (4.0 * t8m)}%.3f,""" +
+          f""""efficiency_range":[${t2 / (4.0 * math.max(t8b, t8c))}%.3f,${t2 / (4.0 * math.min(t8b, t8c))}%.3f],""" +
+          f""""turns_per_sec_low":${nTurns / t2}%.1f,"turns_per_sec_high":${nTurns / math.min(t8b, t8c)}%.1f,""" +
+          f""""steal_low":${w2.stealShare}%.4f,"steal_high":[${w8b.stealShare}%.4f,${w8c.stealShare}%.4f],""" +
+          f""""protocol":"local-cluster"}""", t2 / (4.0 * t8m))
+        }
+      } else None
+
     val pair28 = if (sys.env.getOrElse("SPARK_GRAFT_PAIR28", "1") == "1") {
       val membw2 = try graft.tools.MemBw.bandwidthGbps(2)
                    catch { case _: Throwable => -1.0 }
@@ -409,6 +453,13 @@ object Bench {
       s""""paired_vs_ceiling":[${pairedVsCeil.map(r => f"$r%.3f").mkString(",")}],""" +
       f""""membw_gbps_8":$membw8%.1f,"membw_gbps_32":$membw32%.1f,""" +
       f""""membw_ratio_8_32":${if (membw8 > 0) membw32 / membw8 else -1.0}%.3f""" +
+      // the literal north-rule protocol — N vs 4N REAL executor JVMs
+      // (local-cluster) at the widths where the box has 4x independent
+      // capacity — surfaced as its own top-level reading next to the
+      // 8->32 in-process-thread protocol above
+      pairExec.map { case (_, e) =>
+        f""","scaling_efficiency_exec_2_8":$e%.3f""" }.getOrElse("") +
+      pairExec.map(_._1).getOrElse("") +
       pair28 +
       ccBlock +
       f""","protocol":"$protocol"}"""

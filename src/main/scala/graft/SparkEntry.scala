@@ -650,13 +650,16 @@ object SparkEntry {
     }),
 
     // Frequencies PURGE regime under the driver (q22 covers only the
-    // exact regime): 150 distinct users through a capacity-48 sketch
-    // forces purges (offset > 0), and the NFN error contract must hold
-    // against Spark-computed exact counts — no item with true count >
-    // maxError missing, every reported bound containing the exact count.
+    // exact regime): (user, event_type) keys through a capacity-48 sketch
+    // force purges (offset > 0) at EVERY scale factor (~75 distinct keys
+    // at sf0.001, ~750 at sf0.01 — plain user_id has only 15 at sf0.001
+    // and never purged), and the NFN error contract must hold against
+    // Spark-computed exact counts — no item with true count > maxError
+    // missing, every reported bound containing the exact count.
     "q29_sketch_freq_purge" -> ((s, dir) => {
       import graft.functions._
-      val ev = t(s, dir, "events").select(col("user_id").cast("string").as("u"))
+      val ev = t(s, dir, "events").select(
+        concat(col("user_id").cast("string"), lit("-"), col("event_type")).as("u"))
       val top = ev.agg(freq_top_items(
           freq_sketch_agg(col("u"), 6), false).as("t"))
         .select(explode(col("t")).as("r"))
@@ -1109,8 +1112,8 @@ object SparkEntry {
     "q28_streaming_docs" ->
       "SELECT COUNT(*) AS n_docs, TRUE AS streaming_equals_batch FROM documents",
     "q29_sketch_freq_purge" ->
-      """SELECT COUNT(DISTINCT user_id) AS n_users, TRUE AS purged,
-         TRUE AS nfn_ok, TRUE AS bounds_ok FROM events""",
+      """SELECT COUNT(DISTINCT user_id || '-' || event_type) AS n_users,
+         TRUE AS purged, TRUE AS nfn_ok, TRUE AS bounds_ok FROM events""",
     // assignments READ BACK FROM THE CATALOG must equal the exact
     // recursive-CTE clustering over the reconstructed docs (same ground
     // truth as q12); catalog_ok folds resume-zero-stages + 6-stage lineage

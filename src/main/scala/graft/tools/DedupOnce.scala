@@ -11,18 +11,27 @@ import graft.pipeline.DedupPipeline
   * threads and memory scale WITH the simulated cluster size, as they would
   * across real executors).
   *
-  *   args: <cores> <corpusDir> <repeats> <shufflePartitions>
+  *   args: <cores | NxC> <corpusDir> <repeats> <shufflePartitions>
   *   prints: one line "DEDUP_ONCE_SECONDS=<best>"
+  *
+  * `cores` of the form "4x2" selects `local-cluster[4,2,mem]` — N REAL
+  * executor JVMs of C cores each (standalone master/worker in-process,
+  * executors as separate processes with their own heaps, shuffle over
+  * netty). This is the faithful sandbox rendition of "N executors vs 4N
+  * executors": comparing 1xC against 4xC varies ONLY the executor count,
+  * with per-executor cores and heap fixed — exactly what adding executors
+  * to a cluster does. Per-executor memory: SPARK_GRAFT_EXEC_MEM_MB
+  * (default 6144).
   */
 object DedupOnce {
+  private val ClusterSpec = """(\d+)x(\d+)""".r
+
   def main(args: Array[String]): Unit = {
-    val cores = args(0).toInt
     val corpusDir = args(1)
     val repeats = if (args.length > 2) args(2).toInt else 3
     val parts = if (args.length > 3) args(3) else "128"
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName(s"graft-dedup-once-$cores")
+    val builder = SparkSession.builder()
+      .appName(s"graft-dedup-once-${args(0)}")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       // the bench corpus is one ~400MB parquet dir: the default 128MB scan
@@ -34,7 +43,31 @@ object DedupOnce {
         sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT", "16m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (args(0) match {
+      case ClusterSpec(n, c) =>
+        // 8g matches the in-process legs' heap: the 1-executor leg must
+        // hold the same persisted working set as any single local[N] JVM
+        // (a smaller heap would spill only the small leg and inflate the
+        // measured efficiency)
+        val memMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192").toInt
+        builder
+          .master(s"local-cluster[$n,$c,$memMb]")
+          .config("spark.executor.memory", s"${memMb}m")
+          // executor processes are launched by the in-process worker from
+          // SPARK_HOME; graft classes ride in via the driver's own -cp
+          .config("spark.executor.extraClassPath",
+            sys.props.getOrElse("java.class.path", ""))
+          // all executors share one host: a "remote" cached-block read is a
+          // loopback fetch, so waiting the default 3s for the cache-holding
+          // executor to free a core (spark.locality.wait) only serializes
+          // work onto it — with 1-core executors a hot cached partition
+          // otherwise queues the whole wave. On a real cluster this knob is
+          // tuned to the network; here 0 IS the faithful setting.
+          .config("spark.locality.wait",
+            sys.env.getOrElse("SPARK_GRAFT_LOCALITY_WAIT", "0"))
+      case cores =>
+        builder.master(s"local[${cores.toInt}]")
+    }).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val cfg = DedupConfig()
     // bucketed corpus dirs (the production conv_id-bucketed layout) read
