@@ -43,7 +43,7 @@ object Main {
         val n = input.stripPrefix("synth:").toInt
         Transcripts.asDataFrame(spark, Transcripts.generate(n),
           spark.sparkContext.defaultParallelism * 2)
-      } else spark.read.parquet(input)
+      } else graft.pipeline.BucketedCorpus.readAuto(spark, input)
 
     // --catalog db / catalog.db routes every stage table through the
     // session's (e.g. Iceberg) catalog; default is parquet under --workdir

@@ -65,6 +65,17 @@ object CpuScale {
     tp32 / (4.0 * tp8)
   }
 
+  /** Kernel ceiling for the 2→8 pairs: even at these widths the box is
+    * not 4× — DRAM bandwidth grows only ~2.1× from 2 to 8 threads
+    * (MemBw 22→45 GB/s), so the partially-bandwidth-bound kernel caps
+    * any 2→8 pipeline efficiency below 1.0 before Spark is involved. */
+  def probe2to8(total: Int = 51200): Double = {
+    if (!warmed) { work(400); warmed = true }
+    val tp2 = (1 to 3).map(_ => throughput(2, total)).max
+    val tp8 = (1 to 3).map(_ => throughput(8, total)).max
+    tp8 / (4.0 * tp2)
+  }
+
   def main(args: Array[String]): Unit = {
     val docsPerThread = if (args.nonEmpty) args(0).toInt else 400
     work(200)

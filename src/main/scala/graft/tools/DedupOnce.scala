@@ -65,6 +65,13 @@ object DedupOnce {
           // tuned to the network; here 0 IS the faithful setting.
           .config("spark.locality.wait",
             sys.env.getOrElse("SPARK_GRAFT_LOCALITY_WAIT", "0"))
+          // each executor JVM must size GC/JIT/ForkJoin pools like a real
+          // C-core container (cgroup limit → availableProcessors = C); by
+          // default every executor sees all 32 host CPUs and N executors
+          // spawn N×32-wide GC/compiler thread pools on one box — the same
+          // distortion the in-process legs fix with -XX:ActiveProcessorCount
+          .config("spark.executor.extraJavaOptions",
+            s"-XX:ActiveProcessorCount=$c")
       case cores =>
         builder.master(s"local[${cores.toInt}]")
     }).getOrCreate()
