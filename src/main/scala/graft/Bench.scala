@@ -314,6 +314,47 @@ object Bench {
       else if (kernelCeiling > 0) eff / kernelCeiling
       else -1.0
 
+    // ---- progressive emission -------------------------------------------
+    // Each completed block rewrites BENCH/result.json with everything
+    // measured so far (schema-complete; "queries" stays {} until timed), so
+    // a runner-side timeout truncates the optional tail blocks instead of
+    // losing the whole run. The stdout line is printed once, at the end.
+    val dedupCore =
+      f"""{"n_convs":$nConvs,"n_turns":$nTurns,"cores_low":$lowCores,"cores_high":$cpus,""" +
+      f""""sec_low":$secLow%.3f,"sec_high":$secHigh%.3f,""" +
+      f""""turns_per_sec_low":$tpLow%.1f,"turns_per_sec_high":$tpHigh%.1f,""" +
+      f""""scaling_efficiency":$eff%.3f,""" +
+      s""""paired_ratios":[${ratios.map(r => f"$r%.3f").mkString(",")}],""" +
+      // steal-gate transparency: every attempted pair's ratio with its
+      // measured hypervisor-steal share; only clean pairs vote above
+      s""""all_pair_ratios":[${rounds.map(r => f"${r.ratio}%.3f").mkString(",")}],""" +
+      s""""pair_steal":[${rounds.map(r => f"${r.maxSteal}%.4f").mkString(",")}],""" +
+      f""""steal_gate":$StealGate%.3f,"pairs_clean":${voting.size},"pairs_total":${rounds.size},""" +
+      f""""kernel_ceiling_8_32":$kernelCeiling%.3f,""" +
+      s""""kernel_ceilings":[${ceilings.map(c => f"$c%.3f").mkString(",")}],""" +
+      f""""kernel_ceiling_spread":$ceilingSpread%.3f,""" +
+      f""""efficiency_vs_ceiling":$effVsCeil%.3f,""" +
+      s""""paired_vs_ceiling":[${pairedVsCeil.map(r => f"$r%.3f").mkString(",")}],""" +
+      f""""membw_gbps_8":$membw8%.1f,"membw_gbps_32":$membw32%.1f,""" +
+      f""""membw_ratio_8_32":${if (membw8 > 0) membw32 / membw8 else -1.0}%.3f"""
+    var extraBlocks = ""
+    var queriesJson = "{}"
+    var queriesTotal = 0.0
+    def currentLine(): String = {
+      val dedup = dedupCore + extraBlocks + f""","protocol":"$protocol"}"""
+      f"""{"metric":"total","value":$queriesTotal%.3f,"unit":"sec","queries":$queriesJson,"sf":"$sfDir","dedup":$dedup}"""
+    }
+    // reliable channel: the driver's stdout parse has failed before
+    // (sbt [info] prefix) — persist the line where it can be read back
+    def flush(): Unit = try {
+      val out = new java.io.File("BENCH")
+      out.mkdirs()
+      java.nio.file.Files.writeString(out.toPath.resolve("result.json"), currentLine() + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH/result.json: $e")
+    }
+    flush()
+
     // The SECOND N→4N pair: 2 → 8 cores. The task's scaling criterion is
     // "N and 4N executors"; on this 32-vCPU shared VM the 8→32 pair runs
     // into the BOX, not the pipeline — the Spark-free signature kernel
@@ -371,6 +412,46 @@ object Bench {
           f""""protocol":"local-cluster"}""", t2 / (4.0 * t8m))
         }
       } else None
+    pairExec.foreach { case (block, e) =>
+      // the literal north-rule protocol — N vs 4N REAL executor JVMs
+      // (local-cluster) at the widths where the box has 4x independent
+      // capacity — surfaced as its own top-level reading next to the
+      // 8->32 in-process-thread protocol
+      extraBlocks += f""","scaling_efficiency_exec_2_8":$e%.3f""" + block
+      flush()
+    }
+
+    // --- headline queries on the driver-provided tables --------------------
+    // timed BEFORE the remaining (historical/diagnostic) pair blocks: if the
+    // runner times the bench out, the sacrificial tail is pair_2_8 + cc_ab,
+    // not the per-query numbers
+    locally {
+      val spark = session(cpus)
+      // untimed JIT/codegen warm-up: the alphabetically-first heavy query
+      // (q09, winnow) otherwise pays the session's first-pipeline
+      // compilation (VERDICT r3 #5) — run the full dedup dataflow once on a
+      // tiny corpus, plus the winnow candidate path (its bucket/tier
+      // kernels are disjoint from the minhash pipeline)
+      try {
+        val warm = Transcripts.generateDf(spark, 2000)
+        DedupPipeline.run(warm, cfg).count()
+        val warmDocs = DedupPipeline.buildDocs(warm)
+        DedupPipeline.verifyPairs(
+          DedupPipeline.winnowCandidatePairs(warmDocs, k = 8, w = 16, cfg,
+            minFpOverlap = 0.6), warmDocs, cfg).count()
+      } catch { case _: Throwable => }
+      DedupPipeline.unpersistIntermediates(spark)
+      spark.catalog.clearCache()
+      val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val sec = try timed { fn(spark, sfDir).count() } catch { case _: Throwable => -1.0 }
+        name -> sec
+      }
+      spark.stop()
+      queriesJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      queriesTotal = results.map(_._2).filter(_ >= 0).sum
+      flush()
+    }
 
     val pair28 = if (sys.env.getOrElse("SPARK_GRAFT_PAIR28", "1") == "1") {
       val membw2 = try graft.tools.MemBw.bandwidthGbps(2)
@@ -396,6 +477,8 @@ object Bench {
       f""""efficiency_vs_ceiling":${if (c > 0) t2a / (4.0 * t8m) / c else -1.0}%.3f,""" +
       f""""membw_gbps_2":$membw2%.1f,"protocol":"${Seq(p8b, p2, p8c).distinct.mkString("+")}"}"""
     } else ""
+    extraBlocks += pair28
+    flush()
 
     // CC A/B at bench scale (VERDICT r3 #4): driver-UF vs distributed
     // large-star/small-star on the same verified edges, both widths, in
@@ -421,72 +504,9 @@ object Bench {
         f""""star_eff":${sL / (4.0 * sH)}%.3f,"assignments_match":${mH && mL}}"""
       case _ => ""
     }
+    extraBlocks += ccBlock
+    flush()
 
-    // --- headline queries on the driver-provided tables -------------------
-    val spark = session(cpus)
-    // untimed JIT/codegen warm-up: the alphabetically-first heavy query
-    // (q09, winnow) otherwise pays the session's first-pipeline compilation
-    // (VERDICT r3 #5) — run the full dedup dataflow once on a tiny corpus,
-    // plus the winnow candidate path (its bucket/tier kernels are disjoint
-    // from the minhash pipeline q09 would otherwise compile first)
-    try {
-      val warm = Transcripts.generateDf(spark, 2000)
-      DedupPipeline.run(warm, cfg).count()
-      val warmDocs = DedupPipeline.buildDocs(warm)
-      DedupPipeline.verifyPairs(
-        DedupPipeline.winnowCandidatePairs(warmDocs, k = 8, w = 16, cfg,
-          minFpOverlap = 0.6), warmDocs, cfg).count()
-    } catch { case _: Throwable => }
-    DedupPipeline.unpersistIntermediates(spark)
-    spark.catalog.clearCache()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try timed { fn(spark, sfDir).count() } catch { case _: Throwable => -1.0 }
-      name -> sec
-    }
-    spark.stop()
-
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val dedup =
-      f"""{"n_convs":$nConvs,"n_turns":$nTurns,"cores_low":$lowCores,"cores_high":$cpus,""" +
-      f""""sec_low":$secLow%.3f,"sec_high":$secHigh%.3f,""" +
-      f""""turns_per_sec_low":$tpLow%.1f,"turns_per_sec_high":$tpHigh%.1f,""" +
-      f""""scaling_efficiency":$eff%.3f,""" +
-      s""""paired_ratios":[${ratios.map(r => f"$r%.3f").mkString(",")}],""" +
-      // steal-gate transparency: every attempted pair's ratio with its
-      // measured hypervisor-steal share; only clean pairs vote above
-      s""""all_pair_ratios":[${rounds.map(r => f"${r.ratio}%.3f").mkString(",")}],""" +
-      s""""pair_steal":[${rounds.map(r => f"${r.maxSteal}%.4f").mkString(",")}],""" +
-      f""""steal_gate":$StealGate%.3f,"pairs_clean":${voting.size},"pairs_total":${rounds.size},""" +
-      f""""kernel_ceiling_8_32":$kernelCeiling%.3f,""" +
-      s""""kernel_ceilings":[${ceilings.map(c => f"$c%.3f").mkString(",")}],""" +
-      f""""kernel_ceiling_spread":$ceilingSpread%.3f,""" +
-      f""""efficiency_vs_ceiling":$effVsCeil%.3f,""" +
-      s""""paired_vs_ceiling":[${pairedVsCeil.map(r => f"$r%.3f").mkString(",")}],""" +
-      f""""membw_gbps_8":$membw8%.1f,"membw_gbps_32":$membw32%.1f,""" +
-      f""""membw_ratio_8_32":${if (membw8 > 0) membw32 / membw8 else -1.0}%.3f""" +
-      // the literal north-rule protocol — N vs 4N REAL executor JVMs
-      // (local-cluster) at the widths where the box has 4x independent
-      // capacity — surfaced as its own top-level reading next to the
-      // 8->32 in-process-thread protocol above
-      pairExec.map { case (_, e) =>
-        f""","scaling_efficiency_exec_2_8":$e%.3f""" }.getOrElse("") +
-      pairExec.map(_._1).getOrElse("") +
-      pair28 +
-      ccBlock +
-      f""","protocol":"$protocol"}"""
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","dedup":$dedup}"""
-    println(line)
-    // reliable channel: the driver's stdout parse has failed before
-    // (sbt [info] prefix) — also persist the line where it can be read back
-    try {
-      val out = new java.io.File("BENCH")
-      out.mkdirs()
-      java.nio.file.Files.writeString(out.toPath.resolve("result.json"), line + "\n")
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write BENCH/result.json: $e")
-    }
+    println(currentLine())
   }
 }
