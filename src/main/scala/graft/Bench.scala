@@ -355,6 +355,39 @@ object Bench {
     }
     flush()
 
+    // --- headline queries on the driver-provided tables --------------------
+    // timed FIRST after the core pairs: the per-query table is the one block
+    // with no committed replicate (the pair_exec / pair_2_8 / cc evidence is
+    // also in BENCH/result_r04.json + submit_pair_r04.json), so a runner-side
+    // timeout must sacrifice those tails, not this
+    locally {
+      val spark = session(cpus)
+      // untimed JIT/codegen warm-up: the alphabetically-first heavy query
+      // (q09, winnow) otherwise pays the session's first-pipeline
+      // compilation (VERDICT r3 #5) — run the full dedup dataflow once on a
+      // tiny corpus, plus the winnow candidate path (its bucket/tier
+      // kernels are disjoint from the minhash pipeline)
+      try {
+        val warm = Transcripts.generateDf(spark, 2000)
+        DedupPipeline.run(warm, cfg).count()
+        val warmDocs = DedupPipeline.buildDocs(warm)
+        DedupPipeline.verifyPairs(
+          DedupPipeline.winnowCandidatePairs(warmDocs, k = 8, w = 16, cfg,
+            minFpOverlap = 0.6), warmDocs, cfg).count()
+      } catch { case _: Throwable => }
+      DedupPipeline.unpersistIntermediates(spark)
+      spark.catalog.clearCache()
+      val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val sec = try timed { fn(spark, sfDir).count() } catch { case _: Throwable => -1.0 }
+        name -> sec
+      }
+      spark.stop()
+      queriesJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      queriesTotal = results.map(_._2).filter(_ >= 0).sum
+      flush()
+    }
+
     // The SECOND N→4N pair: 2 → 8 cores. The task's scaling criterion is
     // "N and 4N executors"; on this 32-vCPU shared VM the 8→32 pair runs
     // into the BOX, not the pipeline — the Spark-free signature kernel
@@ -418,38 +451,6 @@ object Bench {
       // capacity — surfaced as its own top-level reading next to the
       // 8->32 in-process-thread protocol
       extraBlocks += f""","scaling_efficiency_exec_2_8":$e%.3f""" + block
-      flush()
-    }
-
-    // --- headline queries on the driver-provided tables --------------------
-    // timed BEFORE the remaining (historical/diagnostic) pair blocks: if the
-    // runner times the bench out, the sacrificial tail is pair_2_8 + cc_ab,
-    // not the per-query numbers
-    locally {
-      val spark = session(cpus)
-      // untimed JIT/codegen warm-up: the alphabetically-first heavy query
-      // (q09, winnow) otherwise pays the session's first-pipeline
-      // compilation (VERDICT r3 #5) — run the full dedup dataflow once on a
-      // tiny corpus, plus the winnow candidate path (its bucket/tier
-      // kernels are disjoint from the minhash pipeline)
-      try {
-        val warm = Transcripts.generateDf(spark, 2000)
-        DedupPipeline.run(warm, cfg).count()
-        val warmDocs = DedupPipeline.buildDocs(warm)
-        DedupPipeline.verifyPairs(
-          DedupPipeline.winnowCandidatePairs(warmDocs, k = 8, w = 16, cfg,
-            minFpOverlap = 0.6), warmDocs, cfg).count()
-      } catch { case _: Throwable => }
-      DedupPipeline.unpersistIntermediates(spark)
-      spark.catalog.clearCache()
-      val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val sec = try timed { fn(spark, sfDir).count() } catch { case _: Throwable => -1.0 }
-        name -> sec
-      }
-      spark.stop()
-      queriesJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-        .mkString("{", ",", "}")
-      queriesTotal = results.map(_._2).filter(_ >= 0).sum
       flush()
     }
 
