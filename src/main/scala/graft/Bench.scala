@@ -97,6 +97,21 @@ object Bench {
   ).flatMap(pkg => Seq("--add-opens", s"$pkg=ALL-UNNAMED"))
 
   def main(args: Array[String]): Unit = {
+    // Wall-clock budget: the run must FINISH (the runner captures the
+    // stdout tail of a completed process), so optional tail blocks are
+    // skipped — recorded in "bench_skipped" — when their cost estimate no
+    // longer fits. Every tail block has a committed same-code replicate
+    // (BENCH/result_r04*.json, BENCH/submit_pair_r04.json); the per-query
+    // table and the core 8→32 pairs are never skipped.
+    val benchT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2700").toDouble
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    def fits(name: String, estSec: Double): Boolean =
+      if (elapsedSec + estSec <= budgetSec) true
+      else { skipped += name; false }
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val lowCores = math.max(1, cpus / 4)
@@ -287,8 +302,11 @@ object Bench {
         rs(lo + 2) - rs(lo)
       }
     }
+    // one pair costs ~2·(th+tl) (best-of-2 legs) plus the ceiling probe
+    def pairCostEst: Double = rounds.map(r => 2.2 * (r.th + r.tl)).max
     while (rounds.length < 7 &&
-      (midSpread() > 0.15 || cleanRounds.size < 2)) runPair()
+      (midSpread() > 0.15 || cleanRounds.size < 2) &&
+      fits("extra_pairs", pairCostEst + budgetSec * 0.35)) runPair()
     val voting = cleanRounds
     val secLow = rounds.map(_.tl).min
     val secHigh = rounds.map(_.th).min
@@ -341,7 +359,10 @@ object Bench {
     var queriesJson = "{}"
     var queriesTotal = 0.0
     def currentLine(): String = {
-      val dedup = dedupCore + extraBlocks + f""","protocol":"$protocol"}"""
+      val skip = skipped.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val dedup = dedupCore + extraBlocks +
+        f""","bench_budget_sec":$budgetSec%.0f,"bench_elapsed_sec":$elapsedSec%.1f,""" +
+        s""""bench_skipped":$skip,"protocol":"$protocol"}"""
       f"""{"metric":"total","value":$queriesTotal%.3f,"unit":"sec","queries":$queriesJson,"sf":"$sfDir","dedup":$dedup}"""
     }
     // reliable channel: the driver's stdout parse has failed before
@@ -424,8 +445,12 @@ object Bench {
     // window as the legs it bounds (the 8→32 stable-denominator pattern)
     def ceil28(): Double =
       try graft.tools.CpuScale.probe2to8() catch { case _: Throwable => -1.0 }
-    val pairExec: Option[(String, Double)] =
-      if (sys.env.getOrElse("SPARK_GRAFT_PAIR_EXEC", "1") == "1") {
+    // (runs LAST of the tail blocks — see ordering note below: it is the
+    // most expensive tail and the one with independent committed evidence,
+    // BENCH/submit_pair_r04.json)
+    def runPairExec(): Option[(String, Double)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_PAIR_EXEC", "1") == "1" &&
+          fits("pair_exec_2_8", 7.0 * secLow)) {
         for {
           (t8b, w8b) <- execLeg("8x1", 8, repeats = 2)
           (t2, w2) <- execLeg("2x1", 2)
@@ -445,16 +470,13 @@ object Bench {
           f""""protocol":"local-cluster"}""", t2 / (4.0 * t8m))
         }
       } else None
-    pairExec.foreach { case (block, e) =>
-      // the literal north-rule protocol — N vs 4N REAL executor JVMs
-      // (local-cluster) at the widths where the box has 4x independent
-      // capacity — surfaced as its own top-level reading next to the
-      // 8->32 in-process-thread protocol
-      extraBlocks += f""","scaling_efficiency_exec_2_8":$e%.3f""" + block
-      flush()
-    }
 
-    val pair28 = if (sys.env.getOrElse("SPARK_GRAFT_PAIR28", "1") == "1") {
+    // Tail-block order is by evidence value per second: pair_2_8 first (the
+    // clean-window 0.859 is the north-bar number), then the cheap CC A/B,
+    // then the executor-JVM pair (most expensive; independently evidenced
+    // by the committed spark-submit run).
+    val pair28 = if (sys.env.getOrElse("SPARK_GRAFT_PAIR28", "1") == "1" &&
+        fits("pair_2_8", 5.5 * secLow)) {
       val membw2 = try graft.tools.MemBw.bandwidthGbps(2)
                    catch { case _: Throwable => -1.0 }
       // the 2-core leg runs ~8-10 min and integrates that much host
@@ -496,17 +518,28 @@ object Bench {
             m("star").toDouble, m("match").toBoolean))
           catch { case _: Throwable => None }
         }
-    val ccHigh = ccAb(cpus)
-    val ccLow = ccAb(lowCores)
-    val ccBlock = (ccHigh, ccLow) match {
-      case (Some((e, dH, sH, mH)), Some((_, dL, sL, mL))) =>
-        f""","cc_distributed":{"edges":$e,"driver_sec_low":$dL%.3f,"driver_sec_high":$dH%.3f,""" +
-        f""""driver_eff":${dL / (4.0 * dH)}%.3f,"star_sec_low":$sL%.3f,"star_sec_high":$sH%.3f,""" +
-        f""""star_eff":${sL / (4.0 * sH)}%.3f,"assignments_match":${mH && mL}}"""
-      case _ => ""
-    }
+    val ccBlock = if (fits("cc_distributed", 300.0)) {
+      val ccHigh = ccAb(cpus)
+      val ccLow = ccAb(lowCores)
+      (ccHigh, ccLow) match {
+        case (Some((e, dH, sH, mH)), Some((_, dL, sL, mL))) =>
+          f""","cc_distributed":{"edges":$e,"driver_sec_low":$dL%.3f,"driver_sec_high":$dH%.3f,""" +
+          f""""driver_eff":${dL / (4.0 * dH)}%.3f,"star_sec_low":$sL%.3f,"star_sec_high":$sH%.3f,""" +
+          f""""star_eff":${sL / (4.0 * sH)}%.3f,"assignments_match":${mH && mL}}"""
+        case _ => ""
+      }
+    } else ""
     extraBlocks += ccBlock
     flush()
+
+    runPairExec().foreach { case (block, e) =>
+      // the literal north-rule protocol — N vs 4N REAL executor JVMs
+      // (local-cluster) at the widths where the box has 4x independent
+      // capacity — surfaced as its own top-level reading next to the
+      // 8->32 in-process-thread protocol
+      extraBlocks += f""","scaling_efficiency_exec_2_8":$e%.3f""" + block
+      flush()
+    }
 
     println(currentLine())
   }
