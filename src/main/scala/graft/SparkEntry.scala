@@ -805,13 +805,17 @@ object SparkEntry {
     // BYTE-identical (nonzero levels[0] included — the ADVICE r3 defect).
     "q33_sketch_write_side_export" -> ((s, dir) => {
       import graft.functions._
-      import graft.sketch.{FreqSketch, KllItemsSketch, KllSketch}
+      import graft.sketch.{FreqSketch, HllSketch, KllItemsSketch, KllSketch}
       import graft.sketch.interop.{DataSketchesFreq, DataSketchesKll}
-      val ev = t(s, dir, "events").select(col("event_type").as("v"))
+      val ev = t(s, dir, "events")
+        .select(col("event_type").as("v"), col("user_id").as("uid"))
       val row = ev.agg(
         freq_sketch_agg(col("v"), 10).as("fsk"),
         kll_string_agg(col("v"), 200).as("ksk"),
-        count(lit(1)).as("n")).head()
+        count(lit(1)).as("n"),
+        hll_agg(col("v")).as("hs"),   // few distinct values: stays sparse
+        hll_agg(col("uid"), 4).as("hd")). // k=16 over ~150 users: dense
+        head()
       val n = row.getLong(2)
       val freq = FreqSketch.deserialize(row.getAs[Array[Byte]](0), FreqSketch.StringSerde)
       val kll = KllItemsSketch.deserialize[String](row.getAs[Array[Byte]](1))
@@ -843,10 +847,42 @@ object SparkEntry {
       val emptyImg = new FreqSketch[String](10)
         .toDataSketchesImage(FreqSketch.DsStringWriter, FreqSketch.DsStringSize)
       val emptyOk = (emptyImg(5) & 0xff) == 5 && DataSketchesFreq.readStrings(emptyImg).empty
+      // F11: CSV string serde on the same stream's exact counts — the
+      // reference LongsSketch ToString/FromString pair
+      // (frequencies/longs_sketch.go:468-485, 180-255)
+      val fLong = new FreqSketch[Long](10)
+      val keyed = exact.toSeq.sortBy(_._1).zipWithIndex
+        .map { case ((_, c), i) => i.toLong -> c }
+      keyed.foreach { case (k2, c) => fLong.update(k2, c) }
+      val fCsv = FreqSketch.fromCsvString(fLong.toCsvString())
+      val freqCsvOk =
+        fLong.toCsvString().startsWith(s"1,10,10,0,$n,0,${keyed.size},") &&
+        fCsv.streamWeight == n && fCsv.offset == 0 &&
+        fCsv.numActive == keyed.size &&
+        keyed.forall { case (k2, c) => fCsv.estimate(k2) == c }
+      // H21: pair iteration over both representations of the aggregated
+      // sketches (hll/pair_iterator.go:20-95, hll_pair_iterator.go:20-52)
+      val hs = HllSketch.deserialize(row.getAs[Array[Byte]](3))
+      val hd = HllSketch.deserialize(row.getAs[Array[Byte]](4))
+      val sparsePairs = hs.pairIterator().toVector
+      val sparseOk = !hs.isDense && sparsePairs.nonEmpty &&
+        sparsePairs.size <= exact.size &&
+        sparsePairs.forall(p =>
+          p.slot == (p.key & (hs.k - 1)) && p.value >= 1 && p.value <= 63 &&
+          (p.packed & HllSketch.SlotMask26) == p.key) &&
+        HllSketch.deserialize(hs.serialize()).pairIterator()
+          .map(_.packed).toVector.sorted == sparsePairs.map(_.packed).sorted
+      val allPairs = hd.pairIterator(validOnly = false).toVector
+      val denseOk = hd.isDense && allPairs.size == hd.k &&
+        hd.pairIterator().toVector == allPairs.filter(_.value != 0) &&
+        allPairs.map(_.slot) == (0 until hd.k).toVector
+      val hllPairsOk = sparseOk && denseOk
       import s.implicits._
-      Seq((n, freqExportOk, freqExact, kllExportOk, wireOk, goldenOk, emptyOk))
+      Seq((n, freqExportOk, freqExact, kllExportOk, wireOk, goldenOk, emptyOk,
+          freqCsvOk, hllPairsOk))
         .toDF("n", "freq_export_ok", "freq_exact", "kll_export_ok",
-          "kll_wire_ok", "golden_byte_identical", "empty_flags_ok")
+          "kll_wire_ok", "golden_byte_identical", "empty_flags_ok",
+          "freq_csv_ok", "hll_pairs_ok")
     })
   )
 
@@ -1137,6 +1173,7 @@ object SparkEntry {
     "q33_sketch_write_side_export" ->
       """SELECT COUNT(*) AS n, TRUE AS freq_export_ok, TRUE AS freq_exact,
          TRUE AS kll_export_ok, TRUE AS kll_wire_ok,
-         TRUE AS golden_byte_identical, TRUE AS empty_flags_ok FROM events"""
+         TRUE AS golden_byte_identical, TRUE AS empty_flags_ok,
+         TRUE AS freq_csv_ok, TRUE AS hll_pairs_ok FROM events"""
   )
 }

@@ -158,6 +158,26 @@ final class FreqSketch[T] private (
     bb.array()
   }
 
+  /** F11 — CSV string serde, write side (`ToString`,
+    * frequencies/longs_sketch.go:468-485): preamble
+    * `serVer,famID,lgMaxMapSize,flags,streamWeight,offset,` then the map
+    * as `numActive,curMapLen,key,value,...` with a trailing comma (the
+    * reference parser strips it). `curMapLen` is the physical
+    * open-addressing array length the reference map would have — the
+    * smallest power of two (≥ 2^3) holding numActive under 0.75 load,
+    * capped at maxMapSize — since our map (F8 deviation) has no physical
+    * array. flags = _EMPTY_FLAG_MASK (5) when no item is active. */
+  def toCsvString(itemToString: T => String = (_: T).toString): String = {
+    val flags = if (counts.isEmpty) 5 else 0
+    val sb = new StringBuilder
+    sb.append(s"1,${FreqSketch.FamilyFreq},$lgMaxMapSize,$flags,${_streamWeight},${_offset},")
+    var curLen = 1 << 3
+    while (curLen * 3 / 4 < counts.size && curLen < maxMapSize) curLen <<= 1
+    sb.append(s"${counts.size},$curLen,")
+    counts.foreach { case (it, c) => sb.append(s"${itemToString(it)},$c,") }
+    sb.result()
+  }
+
   def serialize(ser: FreqSketch.Serde[T]): Array[Byte] = {
     val items = counts.toArray.sortBy(_._1.toString) // canonical order
     val payload = items.map { case (it, _) => ser.toBytes(it) }
@@ -203,6 +223,38 @@ object FreqSketch {
   object StringSerde extends Serde[String] {
     def toBytes(t: String): Array[Byte] = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     def fromBytes(b: Array[Byte]): String = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** F11 — CSV string serde, read side (`NewLongsSketchFromString`,
+    * frequencies/longs_sketch.go:180-255), with the reference's checks:
+    * serVer, family id, the non-empty/numActive consistency, and the
+    * token count 2·numActive == tokens − 8. curMapLen (token 7) only
+    * carries the reference map's initial sizing; our map ignores it. */
+  def fromCsvString(str0: String): FreqSketch[Long] = {
+    require(str0.nonEmpty, "string is empty")
+    val str = if (str0.endsWith(",")) str0.dropRight(1) else str0
+    val tokens = str.split(",", -1)
+    require(tokens.length >= 8, s"string not long enough: ${tokens.length}")
+    require(tokens(0).toInt == 1, s"possible corruption: bad SerVer: ${tokens(0)}")
+    require(tokens(1).toInt == FamilyFreq, s"possible corruption: bad Family: ${tokens(1)}")
+    val lgMax = tokens(2).toInt
+    val flags = tokens(3).toInt
+    val streamWeight = tokens(4).toLong
+    val offset = tokens(5).toLong
+    val numActive = tokens(6).toInt
+    val empty = flags > 0
+    require(empty || numActive > 0,
+      "possible corruption: !empty && numActive=0")
+    require(2 * numActive == tokens.length - 8,
+      s"possible corruption: incorrect # of tokens: ${tokens.length}, numActive: $numActive")
+    val map = mutable.HashMap.empty[Long, Long]
+    var j = 8
+    var i = 0
+    while (i < numActive) {
+      map.put(tokens(j).toLong, tokens(j + 1).toLong)
+      j += 2; i += 1
+    }
+    new FreqSketch[Long](lgMax, map, offset, streamWeight)
   }
 
   def deserialize[T](bytes: Array[Byte], ser: Serde[T]): FreqSketch[T] = {

@@ -281,6 +281,33 @@ final class HllSketch private (
 
   def copy(): HllSketch = HllSketch.deserialize(serialize())
 
+  /** H21 — (key, value) pair iteration over the current representation
+    * (hll/pair_iterator.go:20-95, hll/hll_pair_iterator.go:20-52).
+    *
+    * Sparse mode iterates the stored coupons with `intArrayPairIterator`'s
+    * decoding: key = low 26 bits of the coupon, value = high 6 bits,
+    * slot = key & (k-1). Dense mode follows `hllPairIterator`: one pair
+    * per register with key = slot = index and value = the register.
+    *
+    * `validOnly = true` is `nextValid` (empty cells skipped); `false` is
+    * `nextAll`. Our sparse store is a hash set rather than the reference's
+    * open-addressing int array, so sparse `nextAll` has no empty physical
+    * cells to visit and equals `nextValid` — the same documented deviation
+    * as the Frequencies map (F8). */
+  def pairIterator(validOnly: Boolean = true): Iterator[HllSketch.Pair] =
+    if (!isDense) {
+      val mask = k - 1
+      scala.jdk.CollectionConverters.IteratorHasAsScala(sparse.iterator())
+        .asScala.zipWithIndex.map { case (c, i) =>
+          val key = c.intValue() & SlotMask26
+          HllSketch.Pair(i, key, (c.intValue() >>> ValueShift) & 0x3f, key & mask)
+        }
+    } else {
+      Iterator.range(0, k).map { i =>
+        HllSketch.Pair(i, i, regs(i) & 0xff, i)
+      }.filter(p => !validOnly || p.value != 0)
+    }
+
   /** Export as an Apache DataSketches-format compact image (write-side
     * cross-language compat), mirroring upstream mode selection:
     *  - ≤ 8 coupons → LIST image (the reference libraries reject SET mode
@@ -499,6 +526,13 @@ object HllSketch {
   // coupon layout: [valueShift..] 6-bit value | 26-bit slot address
   final val SlotMask26: Int = (1 << 26) - 1
   final val ValueShift: Int = 26
+
+  /** H21 iteration element: the reference `pairIterator`'s getIndex /
+    * getKey / getValue / getSlot, with `packed` = getPair (key in the low
+    * 26 bits, value above — hll/pair_iterator.go:52-55). */
+  final case class Pair(index: Int, key: Int, value: Int, slot: Int) {
+    def packed: Int = key | (value << ValueShift)
+  }
 
   /** coupon from a 128-bit hash (convention per hll/hll_sketch.go:338-343). */
   def coupon(lo: Long, hi: Long): Int = {

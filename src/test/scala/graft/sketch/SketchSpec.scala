@@ -86,6 +86,45 @@ class HllSketchSpec extends AnyFunSuite {
     a.merge(b)
     assert(math.abs(a.estimate - 75.0) <= 1.0)
   }
+
+  test("H21 pair iterator: sparse coupons and dense registers") {
+    // sparse: pairs decode the stored coupons exactly
+    val sp = new HllSketch(12)
+    fill(sp, 0, 100)
+    assert(!sp.isDense)
+    val sparsePairs = sp.pairIterator().toVector
+    assert(sparsePairs.nonEmpty && sparsePairs.size <= 100)
+    sparsePairs.foreach { p =>
+      assert(p.slot == (p.key & (sp.k - 1)))
+      assert(p.value >= 1 && p.value <= 63)
+      assert((p.packed & HllSketch.SlotMask26) == p.key)
+      assert((p.packed >>> HllSketch.ValueShift) == p.value)
+    }
+    // a serde round-trip preserves the pair set exactly (index is the
+    // enumeration position — hash-order-dependent, like the reference's
+    // physical array index, so compare the packed pairs)
+    val rebuild = HllSketch.deserialize(sp.serialize())
+    assert(rebuild.pairIterator().map(_.packed).toVector.sorted ==
+      sparsePairs.map(_.packed).sorted)
+
+    // dense: nextValid skips empty slots, nextAll visits every slot
+    val d = new HllSketch(8)
+    fill(d, 0, 5000)
+    assert(d.isDense)
+    val valid = d.pairIterator().toVector
+    val all = d.pairIterator(validOnly = false).toVector
+    assert(all.size == d.k)
+    assert(valid == all.filter(_.value != 0))
+    assert(all.map(_.slot) == (0 until d.k).toVector)
+    // the pairs carry the full register state: KxQ recomputed from them
+    // matches a serde round-trip of the sketch
+    val kxqFromPairs = all.map(p => HllSketch.invPow2(p.value)).sum
+    val rt = HllSketch.deserialize(d.serialize())
+    val kxqFromRt = rt.pairIterator(validOnly = false)
+      .map(p => HllSketch.invPow2(p.value)).sum
+    assert(math.abs(kxqFromPairs - kxqFromRt) < 1e-9)
+    assert(math.abs(rt.estimate - d.estimate) < 1e-9)
+  }
 }
 
 class FreqSketchSpec extends AnyFunSuite {
@@ -161,6 +200,55 @@ class FreqSketchSpec extends AnyFunSuite {
       s.serialize(FreqSketch.LongSerde)
     }
     assert(build().sameElements(build()))
+  }
+
+  test("F11 CSV string serde: reference format, round-trip, checks") {
+    // golden vector written by hand from the Go writer
+    // (frequencies/longs_sketch.go:468-485): lgMax=7, items 1→10 and
+    // 2→20, no purge — "serVer,famID,lgMax,flags,weight,offset,
+    // numActive,curMapLen,k,v,...," with the trailing comma
+    val s = new FreqSketch[Long](7)
+    s.update(1L, 10L); s.update(2L, 20L)
+    val csv = s.toCsvString()
+    assert(csv.startsWith("1,10,7,0,30,0,2,8,"))
+    assert(csv.endsWith(","))
+    val fields = csv.split(",")
+    assert(fields.length == 12)
+    assert(fields.drop(8).grouped(2).map(p => (p(0).toLong, p(1).toLong))
+      .toMap == Map(1L -> 10L, 2L -> 20L))
+
+    // round-trip under the purge regime (offset > 0)
+    val p = new FreqSketch[Long](5)
+    val rnd = new java.util.Random(11)
+    for (_ <- 1 to 5000) p.update(rnd.nextInt(800).toLong)
+    assert(p.offset > 0)
+    val p2 = FreqSketch.fromCsvString(p.toCsvString())
+    assert(p2.streamWeight == p.streamWeight)
+    assert(p2.offset == p.offset)
+    assert(p2.numActive == p.numActive)
+    assert(p2.frequentItems(false) == p.frequentItems(false))
+    assert((0L until 800L).forall(i => p2.estimate(i) == p.estimate(i)))
+
+    // empty sketch: dual-bit empty flag, parses back empty
+    val e = new FreqSketch[Long](6)
+    assert(e.toCsvString().startsWith("1,10,6,5,0,0,0,8,"))
+    val e2 = FreqSketch.fromCsvString(e.toCsvString())
+    assert(e2.isEmpty && e2.numActive == 0)
+
+    // the reference parser's corruption checks
+    intercept[IllegalArgumentException] { FreqSketch.fromCsvString("") }
+    intercept[IllegalArgumentException] {
+      FreqSketch.fromCsvString("2,10,7,0,30,0,2,8,1,10,2,20,") // bad serVer
+    }
+    intercept[IllegalArgumentException] {
+      FreqSketch.fromCsvString("1,15,7,0,30,0,2,8,1,10,2,20,") // bad family
+    }
+    intercept[IllegalArgumentException] {
+      FreqSketch.fromCsvString("1,10,7,0,30,0,0,8,") // !empty, numActive=0
+    }
+    intercept[IllegalArgumentException] {
+      FreqSketch.fromCsvString("1,10,7,0,30,0,2,8,1,10,") // token count
+    }
   }
 }
 
