@@ -696,9 +696,39 @@ object DedupPipeline {
         .distinct()
     }
 
-    var edges = edges1
-      .where(col("u") =!= col("v"))
-      .distinct()
+    // Local-contraction pre-pass: each task replaces its partition's edge
+    // set with the star (member → local-component min) via an in-task
+    // union-find. Connectivity-equivalent on the union — every local
+    // component stays connected through its star, and nodes shared across
+    // partitions still join them — and min-id assignments are unchanged
+    // because every original node still appears in some star edge. The
+    // global rounds then see the same components over fewer edges with
+    // intra-partition diameter already collapsed to ≤ 2, so
+    // large-star/small-star needs fewer rounds and smaller shuffles (the
+    // per-round fixed latency is what pins this stage's scaling —
+    // BENCH/BASELINE.md cc_distributed). Per-task memory is O(nodes in
+    // partition), bounded by partition sizing; a safety cap passes
+    // overflow edges through uncontracted (connectivity never drops).
+    def localContract(e: DataFrame): DataFrame = {
+      import spark.implicits._
+      val cap = 4000000
+      e.select(col("u"), col("v")).as[(String, String)]
+        .mapPartitions { it =>
+          val uf = new graft.core.UnionFind[String]()
+          val overflow = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          var n = 0
+          it.foreach { case p @ (a, b) =>
+            if (n < cap) { uf.union(a, b); n += 1 } else overflow += p
+          }
+          uf.assignments().iterator.filter { case (m, r) => m != r } ++
+            overflow.iterator
+        }
+        .toDF("u", "v")
+    }
+
+    var edges = localContract(edges1
+        .where(col("u") =!= col("v"))
+        .distinct())
       .localCheckpoint(true)
     edges1.unpersist(false)
 
