@@ -134,6 +134,35 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(d1 === d2)
   }
 
+  test("local contraction: cross-partition chain still merges to one min-id component") {
+    import spark.implicits._
+    // one 400-node path graph: consecutive edges land in DIFFERENT
+    // partitions (repartition by edge hash), so every task's local star
+    // covers only fragments and the global rounds must stitch them —
+    // the worst case for the local-contraction pre-pass
+    val n = 400
+    val edges = (0 until n - 1).map(i => (f"p$i%04d", f"p${i + 1}%04d"))
+      .toDF("a", "b").repartition(37)
+    val nodes = (0 until n).map(i => f"p$i%04d").toDF("conv_id")
+    val dist = DedupPipeline.connectedComponents(edges, nodes, driverMaxEdges = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dist.values.toSet === Set("p0000"))
+    assert(dist.size === n)
+    // two chains + a bridge landing in scattered partitions: distributed
+    // answer still identical to driver union-find
+    val edges2 = ((0 until 99).map(i => (f"x$i%03d", f"x${i + 1}%03d")) ++
+      (0 until 99).map(i => (f"y$i%03d", f"y${i + 1}%03d")) :+ ("x050", "y050"))
+      .toDF("a", "b").repartition(17)
+    val nodes2 = ((0 until 100).map(i => f"x$i%03d") ++
+      (0 until 100).map(i => f"y$i%03d")).toDF("conv_id")
+    val d1 = DedupPipeline.connectedComponents(edges2, nodes2).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val d2 = DedupPipeline.connectedComponents(edges2, nodes2, driverMaxEdges = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d1 === d2)
+    assert(d2.values.toSet === Set("x000"))
+  }
+
   test("candidate pairs stay linear in bucket size (skew guard)") {
     import spark.implicits._
     // 100 members in one hot band bucket: all-pairs would be 4950 edges;
