@@ -622,7 +622,8 @@ object DedupPipeline {
     * resume/recall. */
   def connectedComponents(edges0: DataFrame, allNodes: DataFrame,
                           maxIter: Int = 50,
-                          driverMaxEdges: Long = 2000000L): DataFrame = {
+                          driverMaxEdges: Long = 2000000L,
+                          localContraction: Boolean = true): DataFrame = {
     val spark = edges0.sparkSession
 
     // materialize the edge set ONCE: the size probe and whichever CC path
@@ -701,14 +702,19 @@ object DedupPipeline {
     // union-find. Connectivity-equivalent on the union — every local
     // component stays connected through its star, and nodes shared across
     // partitions still join them — and min-id assignments are unchanged
-    // because every original node still appears in some star edge. The
-    // global rounds then see the same components over fewer edges with
-    // intra-partition diameter already collapsed to ≤ 2, so
-    // large-star/small-star needs fewer rounds and smaller shuffles (the
-    // per-round fixed latency is what pins this stage's scaling —
-    // BENCH/BASELINE.md cc_distributed). Per-task memory is O(nodes in
-    // partition), bounded by partition sizing; a safety cap passes
-    // overflow edges through uncontracted (connectivity never drops).
+    // because every original node still appears in some star edge.
+    // WHEN IT PAYS (measured — CcAb/CcScale): the win is per-round
+    // shuffle volume, and it requires the edge stream to arrive with
+    // locality. Verified dup pairs do — they leave the verify sort-merge
+    // clustered by key and components are near-cliques (2 global rounds
+    // at 1M convs) — and the pre-pass cut the 32-core star wall 15-20%
+    // on the 357k-edge bench set. On adversarial input (long chains
+    // hash-scattered across partitions: CcScale's 3.36M-edge chain+cross
+    // graph) local stitching finds nothing — same 10 rounds, +19% wall
+    // for the extra pass — hence the `localContraction` parameter for
+    // non-pipeline callers. Per-task memory is O(nodes in partition),
+    // bounded by partition sizing; a safety cap passes overflow edges
+    // through uncontracted (connectivity never drops).
     def localContract(e: DataFrame): DataFrame = {
       import spark.implicits._
       val cap = 4000000
@@ -726,9 +732,8 @@ object DedupPipeline {
         .toDF("u", "v")
     }
 
-    var edges = localContract(edges1
-        .where(col("u") =!= col("v"))
-        .distinct())
+    val edgesPre = edges1.where(col("u") =!= col("v")).distinct()
+    var edges = (if (localContraction) localContract(edgesPre) else edgesPre)
       .localCheckpoint(true)
     edges1.unpersist(false)
 
@@ -746,6 +751,7 @@ object DedupPipeline {
       edges = next
       iter += 1
     }
+    if (ccProf) println(s"[cc] global rounds: $iter")
 
     // After convergence every edge is (member, root) with root = component min.
     val roots = edges.groupBy(col("u")).agg(min(col("v")).as("root"))
