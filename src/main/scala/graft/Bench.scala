@@ -15,6 +15,17 @@ import graft.pipeline.{DedupPipeline, Transcripts}
   * The dedup block is the BENCH/BASELINE.md scaling protocol: identical job +
   * identical input at two parallelism levels (stand-in for N vs 4N
   * executors); efficiency = T(N)/(4·T(4N)).
+  *
+  * Block ORDER is by evidence value per second (VERDICT r4 #1a — the r4
+  * driver run spent its budget on diagnostic legs and skipped the
+  * protocol-faithful executor pair):
+  *   1. per-query table (the one block with no committed replicate)
+  *   2. pair_2_8 — the N→4N pair at the widths where this box still has
+  *      4× independent capacity (the north-bar number), bracket-gated
+  *   3. pair_exec_2_8 — REAL executor JVMs (local-cluster), same gates
+  *   4. the 8→32 in-process pairs (diagnostic: box-capped per MemBw, kept
+  *      for r2–r4 history continuity and the ceiling instruments)
+  *   5. CC A/B
   */
 object Bench {
 
@@ -100,9 +111,8 @@ object Bench {
     // Wall-clock budget: the run must FINISH (the runner captures the
     // stdout tail of a completed process), so optional tail blocks are
     // skipped — recorded in "bench_skipped" — when their cost estimate no
-    // longer fits. Every tail block has a committed same-code replicate
-    // (BENCH/result_r04*.json, BENCH/submit_pair_r04.json); the per-query
-    // table and the core 8→32 pairs are never skipped.
+    // longer fits. Skip PRIORITY (VERDICT r4): queries and the two 2→8
+    // protocol pairs are never sacrificed for diagnostic legs.
     val benchT0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
     val budgetSec =
@@ -245,6 +255,68 @@ object Bench {
       try { (graft.tools.MemBw.bandwidthGbps(8), graft.tools.MemBw.bandwidthGbps(32)) }
       catch { case _: Throwable => (-1.0, -1.0) }
 
+    // legs whose windows show more steal than this are "dirty": the
+    // hypervisor measurably withheld cycles DURING the measurement.
+    // Threshold from observed data: clean windows on this VM run
+    // 0.5-2% steal share, interference bursts 5-15%.
+    val StealGate = sys.env.getOrElse("SPARK_GRAFT_STEAL_GATE", "0.04").toDouble
+    // brackets whose two same-width legs disagree by more than this are
+    // equally dirty: the slow leg integrated a different machine than the
+    // fast one, so the window's ratio is unreliable even at zero steal
+    // (the r4 driver's pair_2_8 voted on an 18%-disagreeing bracket whose
+    // efficiency_vs_ceiling read an impossible 1.143 — VERDICT r4 #1b)
+    val BracketGate = sys.env.getOrElse("SPARK_GRAFT_BRACKET_GATE", "0.06").toDouble
+
+    // --- the 2→8 bracket: the N→4N protocol evidence ----------------------
+    // One bracket = (8-core leg, 2-core leg, 8-core leg) + kernel-ceiling
+    // probe, all sampled in one machine window, per-leg /proc/stat steal.
+    // The ~5–9 min 2-core leg integrates real host weather; the two 8-core
+    // legs bracketing it measure whether the window held still.
+    final case class Bracket(t8b: Double, t2: Double, t8c: Double,
+                             s8b: Double, s2: Double, s8c: Double,
+                             ceil: Double, protos: Seq[String], wall: Double) {
+      def t8m: Double = (t8b + t8c) / 2.0
+      def eff: Double = t2 / (4.0 * t8m)
+      def effRange: (Double, Double) =
+        (t2 / (4.0 * math.max(t8b, t8c)), t2 / (4.0 * math.min(t8b, t8c)))
+      def disagree: Double = math.abs(t8b - t8c) / math.min(t8b, t8c)
+      def maxSteal: Double = Seq(s8b, s2, s8c).max
+      def clean: Boolean = disagree <= BracketGate && maxSteal <= StealGate
+    }
+    def ceil28(): Double =
+      try graft.tools.CpuScale.probe2to8() catch { case _: Throwable => -1.0 }
+    def bracketJson(bs: Seq[Bracket], membw2: Double, extraKeys: String): String = {
+      // primary bracket = first clean one, else the least-disagreeing
+      val primary = bs.find(_.clean).getOrElse(bs.minBy(_.disagree))
+      val votingB = { val c = bs.filter(_.clean); if (c.nonEmpty) c else bs }
+      val effs = votingB.map(_.eff).sorted
+      val eff = effs(effs.length / 2)
+      val (rLo, rHi) = primary.effRange
+      extraKeys +
+      f""""sec_low":${primary.t2}%.3f,"sec_high_before":${primary.t8b}%.3f,""" +
+      f""""sec_high_after":${primary.t8c}%.3f,""" +
+      f""""efficiency":$eff%.3f,"efficiency_primary":${primary.eff}%.3f,""" +
+      f""""efficiency_range":[$rLo%.3f,$rHi%.3f],""" +
+      s""""bracket_effs":[${bs.map(b => f"${b.eff}%.3f").mkString(",")}],""" +
+      s""""bracket_disagreement":[${bs.map(b => f"${b.disagree}%.3f").mkString(",")}],""" +
+      s""""bracket_steal":[${bs.map(b => f"${b.maxSteal}%.4f").mkString(",")}],""" +
+      f""""bracket_gate":$BracketGate%.3f,"brackets_clean":${bs.count(_.clean)},""" +
+      f""""brackets_total":${bs.size},""" +
+      f""""turns_per_sec_low":${nTurns / primary.t2}%.1f,""" +
+      f""""turns_per_sec_high":${nTurns / math.min(primary.t8b, primary.t8c)}%.1f,""" +
+      f""""steal_low":${primary.s2}%.4f,"steal_high":[${primary.s8b}%.4f,${primary.s8c}%.4f],""" +
+      f""""kernel_ceiling_2_8":${primary.ceil}%.3f,""" +
+      f""""efficiency_vs_ceiling":${if (primary.ceil > 0) primary.eff / primary.ceil else -1.0}%.3f,""" +
+      f""""membw_gbps_2":$membw2%.1f,""" +
+      s""""protocol":"${bs.flatMap(_.protos).distinct.mkString("+")}""""
+    }
+    def medianEff(bs: Seq[Bracket]): Double = {
+      val votingB = { val c = bs.filter(_.clean); if (c.nonEmpty) c else bs }
+      val effs = votingB.map(_.eff).sorted
+      effs(effs.length / 2)
+    }
+
+    // --- the 8→32 in-process pair machinery (diagnostic; runs LATER) ------
     // INTERLEAVED PAIRED legs: this shared VM drifts ±20-30% on a scale
     // of minutes (identical binaries measured 49.5 s and 65.5 s apart),
     // so timing all low-core repeats in one window and all high-core
@@ -253,13 +325,7 @@ object Bench {
     // sample the same machine state — and the reported efficiency is the
     // MEDIAN of the per-round paired ratios. Throughput still reports
     // the best leg times. The signature-kernel ceiling probe runs INSIDE
-    // the loop, once per pair (r3's between-runs probe swung 0.676↔0.861;
-    // sampling it in the same window as the legs it bounds, median
-    // reported, gives efficiency_vs_ceiling a stable denominator).
-    // adaptive pair count: 3 pairs normally; when a host spike smears the
-    // ratios apart (observed: one pair read 0.244 while its neighbors read
-    // 0.62/0.72), add up to 2 more pairs so the median stands on agreeing
-    // samples rather than on luck
+    // the loop, once per pair.
     final case class Pair(tl: Double, th: Double, pl: String, ph: String,
                           ceil: Double, stealH: Double, stealL: Double) {
       def ratio: Double = tl / (4.0 * th)
@@ -267,11 +333,6 @@ object Bench {
         * measurement of host interference (StealMeter). */
       def maxSteal: Double = math.max(stealH, stealL)
     }
-    // legs whose windows show more steal than this are "dirty": the
-    // hypervisor measurably withheld cycles DURING the measurement.
-    // Threshold from observed data: clean windows on this VM run
-    // 0.5-2% steal share, interference bursts 5-15%.
-    val StealGate = sys.env.getOrElse("SPARK_GRAFT_STEAL_GATE", "0.04").toDouble
     val rounds = scala.collection.mutable.ArrayBuffer.empty[Pair]
     def runPair(): Unit = {
       val ceil = try graft.tools.CpuScale.probe8to32()
@@ -284,10 +345,6 @@ object Bench {
       val ((tl, pl), wL) = graft.tools.StealMeter.measure(dedupJvm(lowCores, 2))
       rounds += Pair(tl, th, pl, ph, ceil, wH.stealShare, wL.stealShare)
     }
-    (1 to 3).foreach(_ => runPair())
-    // keep adding pairs (to 7) until the MIDDLE THREE sorted ratios agree
-    // to 0.15 — the median then stands on a consensus window, not on luck
-    // (one full run this round drew ratios 0.21-0.78 from host drift)
     // steal-gated consensus: pairs whose legs ran under measured
     // hypervisor interference don't vote when >= 2 clean pairs exist
     def cleanRounds: Seq[Pair] = {
@@ -302,65 +359,67 @@ object Bench {
         rs(lo + 2) - rs(lo)
       }
     }
-    // one pair costs ~2·(th+tl) (best-of-2 legs) plus the ceiling probe
-    def pairCostEst: Double = rounds.map(r => 2.2 * (r.th + r.tl)).max
-    while (rounds.length < 7 &&
-      (midSpread() > 0.15 || cleanRounds.size < 2) &&
-      fits("extra_pairs", pairCostEst + budgetSec * 0.35)) runPair()
-    val voting = cleanRounds
-    val secLow = rounds.map(_.tl).min
-    val secHigh = rounds.map(_.th).min
-    val protos = rounds.flatMap(r => Seq(r.pl, r.ph)).distinct
-    val protocol = if (protos.size == 1) protos.head else protos.mkString("+")
-    val tpLow = nTurns / secLow
-    val tpHigh = nTurns / secHigh
-    val ratios = voting.map(_.ratio).sorted
-    val eff = ratios(ratios.length / 2)
-    val ceilings = voting.map(_.ceil).filter(_ > 0).sorted
-    val kernelCeiling = if (ceilings.nonEmpty) ceilings(ceilings.length / 2) else -1.0
-    val ceilingSpread =
-      if (ceilings.nonEmpty) ceilings.last - ceilings.head else -1.0
-    // eff-vs-ceiling computed WITHIN each pair (ratio and probe sampled in
-    // the same machine window), median across pairs — host drift moves the
-    // two numbers of a pair together, so the per-pair quotient is the
-    // stable form of the comparison
-    val pairedVsCeil = voting
-      .filter(_.ceil > 0)
-      .map(r => r.ratio / r.ceil).sorted
-    val effVsCeil =
-      if (pairedVsCeil.nonEmpty) pairedVsCeil(pairedVsCeil.length / 2)
-      else if (kernelCeiling > 0) eff / kernelCeiling
-      else -1.0
 
     // ---- progressive emission -------------------------------------------
     // Each completed block rewrites BENCH/result.json with everything
-    // measured so far (schema-complete; "queries" stays {} until timed), so
-    // a runner-side timeout truncates the optional tail blocks instead of
-    // losing the whole run. The stdout line is printed once, at the end.
-    val dedupCore =
-      f"""{"n_convs":$nConvs,"n_turns":$nTurns,"cores_low":$lowCores,"cores_high":$cpus,""" +
-      f""""sec_low":$secLow%.3f,"sec_high":$secHigh%.3f,""" +
-      f""""turns_per_sec_low":$tpLow%.1f,"turns_per_sec_high":$tpHigh%.1f,""" +
-      f""""scaling_efficiency":$eff%.3f,""" +
-      s""""paired_ratios":[${ratios.map(r => f"$r%.3f").mkString(",")}],""" +
-      // steal-gate transparency: every attempted pair's ratio with its
-      // measured hypervisor-steal share; only clean pairs vote above
-      s""""all_pair_ratios":[${rounds.map(r => f"${r.ratio}%.3f").mkString(",")}],""" +
-      s""""pair_steal":[${rounds.map(r => f"${r.maxSteal}%.4f").mkString(",")}],""" +
-      f""""steal_gate":$StealGate%.3f,"pairs_clean":${voting.size},"pairs_total":${rounds.size},""" +
-      f""""kernel_ceiling_8_32":$kernelCeiling%.3f,""" +
-      s""""kernel_ceilings":[${ceilings.map(c => f"$c%.3f").mkString(",")}],""" +
-      f""""kernel_ceiling_spread":$ceilingSpread%.3f,""" +
-      f""""efficiency_vs_ceiling":$effVsCeil%.3f,""" +
-      s""""paired_vs_ceiling":[${pairedVsCeil.map(r => f"$r%.3f").mkString(",")}],""" +
-      f""""membw_gbps_8":$membw8%.1f,"membw_gbps_32":$membw32%.1f,""" +
-      f""""membw_ratio_8_32":${if (membw8 > 0) membw32 / membw8 else -1.0}%.3f"""
+    // measured so far (schema-complete; unmeasured numerics are -1), so a
+    // runner-side timeout truncates the later blocks instead of losing the
+    // whole run. The stdout line is printed once, at the end.
+    def dedupCoreJson(): String = {
+      val head =
+        f"""{"n_convs":$nConvs,"n_turns":$nTurns,"cores_low":$lowCores,"cores_high":$cpus,"""
+      val membwTail =
+        f""""membw_gbps_8":$membw8%.1f,"membw_gbps_32":$membw32%.1f,""" +
+        f""""membw_ratio_8_32":${if (membw8 > 0) membw32 / membw8 else -1.0}%.3f"""
+      if (rounds.isEmpty)
+        head + s""""sec_low":-1,"sec_high":-1,"turns_per_sec_low":-1,""" +
+          s""""turns_per_sec_high":-1,"scaling_efficiency":-1,""" + membwTail
+      else {
+        val voting = cleanRounds
+        val secLow = rounds.map(_.tl).min
+        val secHigh = rounds.map(_.th).min
+        val ratios = voting.map(_.ratio).sorted
+        val eff = ratios(ratios.length / 2)
+        val ceilings = voting.map(_.ceil).filter(_ > 0).sorted
+        val kernelCeiling = if (ceilings.nonEmpty) ceilings(ceilings.length / 2) else -1.0
+        val ceilingSpread =
+          if (ceilings.nonEmpty) ceilings.last - ceilings.head else -1.0
+        // eff-vs-ceiling computed WITHIN each pair (ratio and probe sampled
+        // in the same machine window), median across pairs — host drift
+        // moves the two numbers of a pair together, so the per-pair
+        // quotient is the stable form of the comparison
+        val pairedVsCeil = voting.filter(_.ceil > 0).map(r => r.ratio / r.ceil).sorted
+        val effVsCeil =
+          if (pairedVsCeil.nonEmpty) pairedVsCeil(pairedVsCeil.length / 2)
+          else if (kernelCeiling > 0) eff / kernelCeiling
+          else -1.0
+        head +
+        f""""sec_low":$secLow%.3f,"sec_high":$secHigh%.3f,""" +
+        f""""turns_per_sec_low":${nTurns / secLow}%.1f,"turns_per_sec_high":${nTurns / secHigh}%.1f,""" +
+        f""""scaling_efficiency":$eff%.3f,""" +
+        s""""paired_ratios":[${ratios.map(r => f"$r%.3f").mkString(",")}],""" +
+        // steal-gate transparency: every attempted pair's ratio with its
+        // measured hypervisor-steal share; only clean pairs vote above
+        s""""all_pair_ratios":[${rounds.map(r => f"${r.ratio}%.3f").mkString(",")}],""" +
+        s""""pair_steal":[${rounds.map(r => f"${r.maxSteal}%.4f").mkString(",")}],""" +
+        f""""steal_gate":$StealGate%.3f,"pairs_clean":${voting.size},"pairs_total":${rounds.size},""" +
+        f""""kernel_ceiling_8_32":$kernelCeiling%.3f,""" +
+        s""""kernel_ceilings":[${ceilings.map(c => f"$c%.3f").mkString(",")}],""" +
+        f""""kernel_ceiling_spread":$ceilingSpread%.3f,""" +
+        f""""efficiency_vs_ceiling":$effVsCeil%.3f,""" +
+        s""""paired_vs_ceiling":[${pairedVsCeil.map(r => f"$r%.3f").mkString(",")}],""" +
+        membwTail
+      }
+    }
     var extraBlocks = ""
     var queriesJson = "{}"
     var queriesTotal = 0.0
     def currentLine(): String = {
       val skip = skipped.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val dedup = dedupCore + extraBlocks +
+      val protos = rounds.flatMap(r => Seq(r.pl, r.ph)).distinct
+      val protocol = if (protos.isEmpty) "child-jvm"
+        else if (protos.size == 1) protos.head else protos.mkString("+")
+      val dedup = dedupCoreJson() + extraBlocks +
         f""","bench_budget_sec":$budgetSec%.0f,"bench_elapsed_sec":$elapsedSec%.1f,""" +
         s""""bench_skipped":$skip,"protocol":"$protocol"}"""
       f"""{"metric":"total","value":$queriesTotal%.3f,"unit":"sec","queries":$queriesJson,"sf":"$sfDir","dedup":$dedup}"""
@@ -376,11 +435,9 @@ object Bench {
     }
     flush()
 
-    // --- headline queries on the driver-provided tables --------------------
-    // timed FIRST after the core pairs: the per-query table is the one block
-    // with no committed replicate (the pair_exec / pair_2_8 / cc evidence is
-    // also in BENCH/result_r04.json + submit_pair_r04.json), so a runner-side
-    // timeout must sacrifice those tails, not this
+    // --- block 1: headline queries on the driver-provided tables ----------
+    // timed FIRST: the per-query table is the one block with no committed
+    // replicate, so a runner-side timeout must sacrifice the tails, not this
     locally {
       val spark = session(cpus)
       // untimed JIT/codegen warm-up: the alphabetically-first heavy query
@@ -409,17 +466,46 @@ object Bench {
       flush()
     }
 
-    // The SECOND N→4N pair: 2 → 8 cores. The task's scaling criterion is
-    // "N and 4N executors"; on this 32-vCPU shared VM the 8→32 pair runs
-    // into the BOX, not the pipeline — the Spark-free signature kernel
-    // itself only scales 0.73-0.87 from 8→32 (CpuScale) and measured DRAM
-    // bandwidth FALLS from ~42 GB/s at 8 threads to ~25 at 32 (MemBw),
-    // while real added executors bring their own sockets and memory
-    // channels. At 2→8 cores the VM still has 4x independent capacity
-    // (bandwidth 22→42 GB/s, no oversubscription), so this pair is the
-    // faithful sandbox model of "adding executors"; it is recorded
-    // alongside — not instead of — the 8→32 protocol numbers.
-    // Second form of the N→4N pair — REAL executor-count scaling:
+    // --- block 2: pair_2_8 — THE N→4N pair -------------------------------
+    // The task's scaling criterion is "N and 4N executors"; on this
+    // 32-vCPU shared VM the 8→32 pair runs into the BOX, not the pipeline —
+    // the Spark-free signature kernel itself only scales 0.73-0.87 from
+    // 8→32 (CpuScale) and measured DRAM bandwidth FALLS from ~42 GB/s at 8
+    // threads to ~25 at 32 (MemBw), while real added executors bring their
+    // own sockets and memory channels. At 2→8 cores the VM still has 4x
+    // independent capacity (bandwidth 22→42 GB/s, no oversubscription), so
+    // this pair is the faithful sandbox model of "adding executors". It
+    // runs UNCONDITIONALLY, before every diagnostic block, and resamples
+    // (budget permitting, up to 3 brackets) until one passes BOTH gates.
+    def bracket28(): Bracket = {
+      val w0 = elapsedSec
+      val ((t8b, p8b), m8b) = graft.tools.StealMeter.measure(dedupJvm(8, 1))
+      val ((t2, p2), m2) = graft.tools.StealMeter.measure(dedupJvm(2, 1))
+      val ((t8c, p8c), m8c) = graft.tools.StealMeter.measure(dedupJvm(8, 1))
+      Bracket(t8b, t2, t8c, m8b.stealShare, m2.stealShare, m8c.stealShare,
+        ceil28(), Seq(p8b, p2, p8c), elapsedSec - w0)
+    }
+    val pair28Brackets = scala.collection.mutable.ArrayBuffer.empty[Bracket]
+    if (sys.env.getOrElse("SPARK_GRAFT_PAIR28", "1") == "1") {
+      val membw2 = try graft.tools.MemBw.bandwidthGbps(2)
+                   catch { case _: Throwable => -1.0 }
+      pair28Brackets += bracket28()
+      // resample while the window was dirty (steal OR bracket disagreement
+      // — VERDICT r4: nothing gated on the 18% leg disagreement that
+      // corrupted the driver's r4 sample), keeping ~35% of the budget for
+      // the exec pair + the 8→32 diagnostics behind us
+      while (!pair28Brackets.exists(_.clean) && pair28Brackets.length < 3 &&
+        fits("pair_2_8_resample",
+          pair28Brackets.map(_.wall).max * 1.1 + budgetSec * 0.35))
+        pair28Brackets += bracket28()
+      extraBlocks +=
+        f""","scaling_efficiency_2_8":${medianEff(pair28Brackets.toSeq)}%.3f""" +
+        s""","pair_2_8":{"cores_low":2,"cores_high":8,""" +
+        bracketJson(pair28Brackets.toSeq, membw2, "") + "}"
+      flush()
+    }
+
+    // --- block 3: pair_exec_2_8 — REAL executor-count scaling -------------
     // `local-cluster[2,1,mem]` vs `local-cluster[8,1,mem]` runs standalone
     // executors as separate JVMs (own heaps, shuffle over netty), varying
     // ONLY the executor count with per-executor cores and heap fixed —
@@ -427,86 +513,78 @@ object Bench {
     // leg so BOTH sides are multi-executor and pay network shuffle — a
     // single-executor baseline shuffles inside its own JVM and biases the
     // ratio down in a way a real N→4N cluster doesn't (measured: 1x2→4x2
-    // 0.611 vs 2x1→8x1 0.618 on the same corpus/window). The 2→8-thread
-    // range is where this VM still has 4x independent capacity (MemBw),
-    // so the pair is not box-capped like 8→32. Bracketed like pair_2_8
-    // and recorded ALONGSIDE it (the in-process pair stays: it is free of
-    // executor-launch machinery and comparable to r2/r3 history).
-    // best-of-2 on the short 8-executor legs (they swung 134→179 s across
-    // one bracket in probing); the ~6-min 2-executor leg stays single-shot
-    // — it integrates enough window already and is bracketed on both sides
+    // 0.611 vs 2x1→8x1 0.618 on the same corpus/window). Bracketed and
+    // gated exactly like pair_2_8; best-of-2 on the short 8-executor legs
+    // (they swung 134→179 s across one bracket in probing); the ~6-min
+    // 2-executor leg stays single-shot — it integrates enough window
+    // already and is bracketed on both sides.
     def execLeg(spec: String, totalCores: Int, repeats: Int = 1): Option[(Double, graft.tools.StealMeter.Window)] = {
       val r = graft.tools.StealMeter.measure(
         spawnChild(totalCores, "graft.tools.DedupOnce",
           Seq(spec, corpusDir, repeats.toString, ShufflePartitions), "DEDUP_ONCE_SECONDS="))
       r._1.map(s => (s.toDouble, r._2))
     }
-    // kernel ceiling at the 2→8 widths, sampled in the same machine
-    // window as the legs it bounds (the 8→32 stable-denominator pattern)
-    def ceil28(): Double =
-      try graft.tools.CpuScale.probe2to8() catch { case _: Throwable => -1.0 }
-    // (runs LAST of the tail blocks — see ordering note below: it is the
-    // most expensive tail and the one with independent committed evidence,
-    // BENCH/submit_pair_r04.json)
-    def runPairExec(): Option[(String, Double)] =
-      if (sys.env.getOrElse("SPARK_GRAFT_PAIR_EXEC", "1") == "1" &&
-          fits("pair_exec_2_8", 7.0 * secLow)) {
-        for {
-          (t8b, w8b) <- execLeg("8x1", 8, repeats = 2)
-          (t2, w2) <- execLeg("2x1", 2)
-          (t8c, w8c) <- execLeg("8x1", 8, repeats = 2)
-        } yield {
-          val t8m = (t8b + t8c) / 2.0
-          val c = ceil28()
-          (f""","pair_exec_2_8":{"execs_low":2,"execs_high":8,"cores_per_exec":1,""" +
-          f""""exec_mem_mb":${sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192")},""" +
-          f""""sec_low":$t2%.3f,"sec_high_before":$t8b%.3f,"sec_high_after":$t8c%.3f,""" +
-          f""""efficiency":${t2 / (4.0 * t8m)}%.3f,""" +
-          f""""efficiency_range":[${t2 / (4.0 * math.max(t8b, t8c))}%.3f,${t2 / (4.0 * math.min(t8b, t8c))}%.3f],""" +
-          f""""turns_per_sec_low":${nTurns / t2}%.1f,"turns_per_sec_high":${nTurns / math.min(t8b, t8c)}%.1f,""" +
-          f""""steal_low":${w2.stealShare}%.4f,"steal_high":[${w8b.stealShare}%.4f,${w8c.stealShare}%.4f],""" +
-          f""""kernel_ceiling_2_8":$c%.3f,""" +
-          f""""efficiency_vs_ceiling":${if (c > 0) t2 / (4.0 * t8m) / c else -1.0}%.3f,""" +
-          f""""protocol":"local-cluster"}""", t2 / (4.0 * t8m))
-        }
-      } else None
+    def bracketExec(): Option[Bracket] = {
+      val w0 = elapsedSec
+      for {
+        (t8b, w8b) <- execLeg("8x1", 8, repeats = 2)
+        (t2, w2) <- execLeg("2x1", 2)
+        (t8c, w8c) <- execLeg("8x1", 8, repeats = 2)
+      } yield Bracket(t8b, t2, t8c, w8b.stealShare, w2.stealShare, w8c.stealShare,
+        ceil28(), Seq("local-cluster"), elapsedSec - w0)
+    }
+    // cost estimate from the measured in-process bracket (same corpus and
+    // widths; executor launch + netty add ~15-25%) — r4's 5.5·secLow guess
+    // undercounted and the block got skipped (ADVICE r4)
+    val execEst =
+      if (pair28Brackets.nonEmpty) pair28Brackets.map(_.wall).min * 1.3
+      else 8.0 * 60.0
+    if (sys.env.getOrElse("SPARK_GRAFT_PAIR_EXEC", "1") == "1" &&
+        fits("pair_exec_2_8", execEst)) {
+      val execBrackets = scala.collection.mutable.ArrayBuffer.empty[Bracket]
+      bracketExec().foreach(execBrackets += _)
+      // one resample if dirty and the budget still holds the 8→32 block
+      while (execBrackets.nonEmpty && !execBrackets.exists(_.clean) &&
+        execBrackets.length < 2 &&
+        fits("pair_exec_resample",
+          execBrackets.map(_.wall).max * 1.1 + budgetSec * 0.25))
+        bracketExec().foreach(execBrackets += _)
+      if (execBrackets.nonEmpty) {
+        // the literal north-rule protocol — N vs 4N REAL executor JVMs
+        // (local-cluster) at the widths where the box has 4x independent
+        // capacity — surfaced as its own top-level reading next to the
+        // 8->32 in-process-thread protocol
+        extraBlocks +=
+          f""","scaling_efficiency_exec_2_8":${medianEff(execBrackets.toSeq)}%.3f""" +
+          s""","pair_exec_2_8":{"execs_low":2,"execs_high":8,"cores_per_exec":1,""" +
+          s""""exec_mem_mb":${sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192")},""" +
+          bracketJson(execBrackets.toSeq, -1.0, "") + "}"
+        flush()
+      }
+    }
 
-    // Tail-block order is by evidence value per second: pair_2_8 first (the
-    // clean-window 0.859 is the north-bar number), then the cheap CC A/B,
-    // then the executor-JVM pair (most expensive; independently evidenced
-    // by the committed spark-submit run).
-    val pair28 = if (sys.env.getOrElse("SPARK_GRAFT_PAIR28", "1") == "1" &&
-        fits("pair_2_8", 5.5 * secLow)) {
-      val membw2 = try graft.tools.MemBw.bandwidthGbps(2)
-                   catch { case _: Throwable => -1.0 }
-      // the 2-core leg runs ~8-10 min and integrates that much host
-      // weather; bracketing it with an 8-core leg on EACH side and
-      // reporting the efficiency against both (and their mean) carries
-      // the window-mismatch uncertainty in the JSON instead of hiding it
-      // (builder-measured spread across two single-pair samples: 0.66 vs
-      // 0.96, driven entirely by which window the short leg caught)
-      val ((t8b, p8b), w8b) = graft.tools.StealMeter.measure(dedupJvm(8, 1))
-      val ((t2a, p2), w2) = graft.tools.StealMeter.measure(dedupJvm(2, 1))
-      val ((t8c, p8c), w8c) = graft.tools.StealMeter.measure(dedupJvm(8, 1))
-      val t8m = (t8b + t8c) / 2.0
-      val c = ceil28()
-      f""","pair_2_8":{"cores_low":2,"cores_high":8,"sec_low":$t2a%.3f,""" +
-      f""""sec_high_before":$t8b%.3f,"sec_high_after":$t8c%.3f,""" +
-      f""""efficiency":${t2a / (4.0 * t8m)}%.3f,""" +
-      f""""efficiency_range":[${t2a / (4.0 * math.max(t8b, t8c))}%.3f,${t2a / (4.0 * math.min(t8b, t8c))}%.3f],""" +
-      f""""turns_per_sec_low":${nTurns / t2a}%.1f,"turns_per_sec_high":${nTurns / math.min(t8b, t8c)}%.1f,""" +
-      f""""steal_low":${w2.stealShare}%.4f,"steal_high":[${w8b.stealShare}%.4f,${w8c.stealShare}%.4f],""" +
-      f""""kernel_ceiling_2_8":$c%.3f,""" +
-      f""""efficiency_vs_ceiling":${if (c > 0) t2a / (4.0 * t8m) / c else -1.0}%.3f,""" +
-      f""""membw_gbps_2":$membw2%.1f,"protocol":"${Seq(p8b, p2, p8c).distinct.mkString("+")}"}"""
-    } else ""
-    extraBlocks += pair28
+    // --- block 4: the 8→32 in-process pairs (diagnostic) ------------------
+    // Box-capped (MemBw: bandwidth FALLS 8→32 on this VM) — recorded for
+    // r2–r4 history continuity and the per-pair ceiling instruments, AFTER
+    // the protocol evidence. Two pairs minimum; a third plus adaptive
+    // extras (to 7, until the middle three sorted ratios agree to 0.15)
+    // when the budget allows, always reserving the CC block's ~300 s.
+    def pairCostEst: Double =
+      if (rounds.nonEmpty) rounds.map(r => 2.2 * (r.th + r.tl)).max
+      else if (pair28Brackets.nonEmpty)
+        // th ≈ half the 8-core leg, tl = the 8-core leg, best-of-2 each
+        2.2 * 1.5 * pair28Brackets.map(b => math.min(b.t8b, b.t8c)).min
+      else 300.0
+    runPair(); runPair()
+    while (rounds.length < 7 &&
+      (midSpread() > 0.15 || cleanRounds.size < 2 || rounds.length < 3) &&
+      fits("extra_pairs", pairCostEst + 300.0)) runPair()
     flush()
 
-    // CC A/B at bench scale (VERDICT r3 #4): driver-UF vs distributed
-    // large-star/small-star on the same verified edges, both widths, in
-    // executor-sized child JVMs. Failure leaves the block empty rather
-    // than failing the bench.
+    // --- block 5: CC A/B at bench scale (VERDICT r3 #4) --------------------
+    // driver-UF vs distributed large-star/small-star on the same verified
+    // edges, both widths, in executor-sized child JVMs. Failure leaves the
+    // block empty rather than failing the bench.
     def ccAb(cores: Int): Option[(Long, Double, Double, Boolean)] =
       spawnChild(cores, "graft.tools.CcAb",
         Seq(cores.toString, edgesDir, nodesDir, ShufflePartitions), "CC_AB=")
@@ -531,15 +609,6 @@ object Bench {
     } else ""
     extraBlocks += ccBlock
     flush()
-
-    runPairExec().foreach { case (block, e) =>
-      // the literal north-rule protocol — N vs 4N REAL executor JVMs
-      // (local-cluster) at the widths where the box has 4x independent
-      // capacity — surfaced as its own top-level reading next to the
-      // 8->32 in-process-thread protocol
-      extraBlocks += f""","scaling_efficiency_exec_2_8":$e%.3f""" + block
-      flush()
-    }
 
     println(currentLine())
   }

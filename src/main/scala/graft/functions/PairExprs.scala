@@ -127,9 +127,12 @@ object PairVerify {
         res = new Array[Long](need) // transient; buf stays bounded
         keyLen = -1
       } else {
-        if (buf.length < need) buf = new Array[Long](Integer.highestOneBit(need - 1) << 1)
+        // grow to the next power of two, floored at 2: for need == 1 the
+        // unfloored form is highestOneBit(0) << 1 == 0, which would hand
+        // copyMemory a zero-length target and corrupt the heap (ADVICE r4)
+        if (buf.length < need) buf = new Array[Long](Integer.highestOneBit(math.max(need, 2) - 1) << 1)
         res = buf
-        if (key.length < need) key = new Array[Byte](Integer.highestOneBit(need - 1) << 1)
+        if (key.length < need) key = new Array[Byte](Integer.highestOneBit(math.max(need, 2) - 1) << 1)
         org.apache.spark.unsafe.Platform.copyMemory(
           d.getBaseObject, d.getBaseOffset,
           key, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, d.numBytes)

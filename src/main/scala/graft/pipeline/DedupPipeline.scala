@@ -478,8 +478,13 @@ object DedupPipeline {
     // row carried two conv_id strings. Re-keying the SAME generic body by
     // xxhash64(conv_id) makes those rows three fixed longs; the survivor
     // set (3-4 orders of magnitude smaller) maps back through a join and
-    // re-orients lexicographically, so the output is unchanged. Guarded by
-    // the same uniqueness check + string fallback as run().
+    // re-orients lexicographically. Tier-1 all-pairs evidence and cluster
+    // connectivity are key-insensitive and unchanged; the tier-2 sub-bucket
+    // split hashes the key VALUE (pmod(xxhash64(key, band), S)), so the
+    // tier-2 probabilistic pair sample differs between the long-keyed and
+    // string-fallback paths (ADVICE r4) — A/B runs via
+    // SPARK_GRAFT_STRING_PATH compare recall, not candidate identity.
+    // Guarded by the same uniqueness check + string fallback as run().
     val u = docs.agg(count(lit(1)), count_distinct(xxhash64(col("conv_id")))).head()
     if (u.getLong(0) == u.getLong(1) && !sys.env.contains("SPARK_GRAFT_STRING_PATH")) {
       val idDocs = docs.select(xxhash64(col("conv_id")).as("conv_id"), col("doc"))

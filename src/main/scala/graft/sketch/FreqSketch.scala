@@ -238,6 +238,11 @@ object FreqSketch {
     require(tokens(0).toInt == 1, s"possible corruption: bad SerVer: ${tokens(0)}")
     require(tokens(1).toInt == FamilyFreq, s"possible corruption: bad Family: ${tokens(1)}")
     val lgMax = tokens(2).toInt
+    // mirror the constructor/byte-deserialize range check (the reference
+    // routes through NewLongsSketch which validates it); without this a
+    // corrupted lgMax like 40 silently Int-wraps maxMapSize (ADVICE r4)
+    require(lgMax >= 3 && lgMax <= 24,
+      s"possible corruption: lgMaxMapSize out of range: $lgMax")
     val flags = tokens(3).toInt
     val streamWeight = tokens(4).toLong
     val offset = tokens(5).toLong

@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
 object GenCorpus {
   def main(args: Array[String]): Unit = {
     val n = args(0).toLong
-    val seed = if (args.length > 1) args(1).toLong else 42L
+    // seed is the first NUMERIC optional arg, so `GenCorpus 1000 bucketed`
+    // works without an explicit seed (ADVICE r4)
+    val seed = args.drop(1).find(_.matches("-?\\d+")).map(_.toLong).getOrElse(42L)
     val bucketed = args.contains("bucketed")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "256")

@@ -88,6 +88,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(v.getInt(2) === 3 && v.getInt(3) > 0 && v.getInt(4) === 2)
   }
 
+  test("pair_verify on 1-byte docs (memo buffer growth floor, ADVICE r4)") {
+    // need==1 used to grow the memo key to a ZERO-length array and then
+    // copyMemory 1 byte past it (silent heap corruption). Exercise the
+    // 1-byte path on a fresh thread-local scratch, a memo hit on the same
+    // doc, then growth 1 → longer → 1 again.
+    val rows = Seq(("a", "a"), ("a", "a"), ("a", "b"),
+      ("a longer document to regrow the buffers", "a"), ("b", "b"))
+      .toDF("da", "db")
+      .coalesce(1) // one task → one scratch: the sequence above is the state machine
+      .select(pair_verify(col("da"), col("db"), cfg.shingleK, cfg.seed).as("v"))
+      .select("v.jaccard", "v.simhash_dist").collect()
+    // identical docs (even shorter than shingleK → empty shingle sets) agree
+    assert(rows(0).getDouble(0) === rows(1).getDouble(0))
+    assert(rows(0).getInt(1) === 0 && rows(1).getInt(1) === 0)
+    assert(rows(4).getInt(1) === 0)
+    // and the interpreted path computes the same struct
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val e = PairVerify(
+      Literal(UTF8String.fromString("a"), org.apache.spark.sql.types.StringType),
+      Literal(UTF8String.fromString("a"), org.apache.spark.sql.types.StringType),
+      cfg.shingleK, cfg.seed)
+    val r = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(r.getDouble(0) === rows(0).getDouble(0) && r.getInt(1) === 0)
+  }
+
   test("null inputs propagate") {
     val r = spark.sql("SELECT jaccard_sorted(NULL, array(1L)), lcs_length(NULL, 'x')").head()
     assert(r.isNullAt(0) && r.isNullAt(1))
