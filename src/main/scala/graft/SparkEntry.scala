@@ -357,6 +357,17 @@ object SparkEntry {
       meta.join(resized, Seq("media_id"))
         .join(frames, Seq("media_id"), "left")
         .select(col("kind"), col("valid"),
+          // the payloads are REAL formats (PNG/WAV/GIF built and parsed by
+          // MediaCodec): the sniffed format must match the planted kind and
+          // the decoded fields must land in the generator's planted ranges
+          (col("format") === when(col("kind") === "image", "png")
+            .when(col("kind") === "audio", "wav").otherwise("gif"))
+            .as("fmt_ok_row"),
+          when(col("kind") === "audio",
+            col("width") === 0 &&
+              col("sample_rate").isin(8000, 16000, 22050, 44100))
+            .otherwise(col("width").between(64, 127) &&
+              col("height").between(64, 127)).as("dims_ok_row"),
           when(col("kind") === "image",
             col("rw") === greatest(lit(1), floor(col("width") * 0.5).cast("int")) &&
               col("rh") === greatest(lit(1), floor(col("height") * 0.5).cast("int")))
@@ -368,6 +379,8 @@ object SparkEntry {
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("valid"), 0L).otherwise(1L)).as("n_corrupt"),
+          bool_and(col("fmt_ok_row")).as("fmt_ok"),
+          bool_and(col("dims_ok_row")).as("dims_ok"),
           bool_and(col("resize_ok_row")).as("resize_ok"),
           bool_and(col("frames_ok_row")).as("frames_ok"))
         .orderBy(col("kind"))
@@ -1110,6 +1123,7 @@ object SparkEntry {
       """SELECT CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                 ELSE 'video' END AS kind,
          COUNT(*) AS n, CAST(0 AS BIGINT) AS n_corrupt,
+         TRUE AS fmt_ok, TRUE AS dims_ok,
          TRUE AS resize_ok, TRUE AS frames_ok
          FROM range(2000) t(i) GROUP BY 1 ORDER BY kind""",
     "q20_sketch_hll_distinct" ->

@@ -15,7 +15,16 @@ class MultimodalSpec extends AnyFunSuite {
     val meta = Multimodal.decode(media).collect()
     assert(meta.length === 300)
     assert(meta.forall(_.valid))
-    assert(meta.forall(m => m.width >= 64 && m.height >= 64))
+    meta.foreach { m =>
+      m.kind match {
+        case "audio" =>
+          assert(m.width === 0 && Seq(8000, 16000, 22050, 44100).contains(m.sample_rate))
+        case "video" =>
+          assert(m.width >= 64 && m.height >= 64 && m.n_frames >= 8)
+        case _ =>
+          assert(m.width >= 64 && m.height >= 64 && m.n_frames === 1)
+      }
+    }
     // corrupt payloads → valid=false, no exception
     val corrupt = Seq(Multimodal.MediaRow(1L, "image", 3L, Array[Byte](1, 2, 3)),
       Multimodal.MediaRow(2L, "image", 0L, null)).toDS()
@@ -51,10 +60,14 @@ class MultimodalSpec extends AnyFunSuite {
     in.foreach { row =>
       val o = out(row.media_id)
       if (row.kind == "image") {
-        val Some((w0, h0, _, _)) = Multimodal.decodeStub(row.payload)
-        val Some((w1, h1, _, _)) = Multimodal.decodeStub(o.payload)
-        assert(w1 === math.max(1, (w0 * 0.5).toInt) && h1 === math.max(1, (h0 * 0.5).toInt))
+        val h0 = MediaCodec.decodeHeader(row.payload).get
+        val h1 = MediaCodec.decodeHeader(o.payload).get
+        assert(h1.width === math.max(1, (h0.width * 0.5).toInt) &&
+          h1.height === math.max(1, (h0.height * 0.5).toInt))
         assert(o.payload.length < row.payload.length)
+        // the resized payload is itself a fully decodable PNG
+        val Some((rw, rh, bpp, px)) = MediaCodec.pngDecodePixels(o.payload)
+        assert(rw === h1.width && rh === h1.height && px.length === rw * rh * bpp)
       } else {
         assert(o.payload.sameElements(row.payload))
       }
