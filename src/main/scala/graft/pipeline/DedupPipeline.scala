@@ -512,8 +512,21 @@ object DedupPipeline {
                            subBucketSize: Int,
                            stopFpFreq: Int,
                            tier2PairRecall: Boolean): DataFrame = {
-    val buckets = trackPersist(winnowBuckets(docs, k, w)
-      .where(col("m") <= stopFpFreq))
+    // bucket sizes FIRST, member arrays only for buckets the tiers will
+    // read (m ∈ [2, stopFpFreq]): stop-fingerprint buckets — template
+    // fingerprints shared by up to the whole corpus — previously paid a
+    // full sort_array(collect_list) before being dropped (VERDICT r4 #4).
+    // One Exchange total: the count comes from a window over the
+    // band_key-partitioned stream and the groupBy below reuses that
+    // partitioning (band_key ⊂ grouping keys → no second shuffle).
+    val fps = docs.select(col("conv_id"),
+      explode(graft.functions.winnow_fingerprints(col("doc"), k, w)).as("band_key"))
+    val buckets = trackPersist(fps
+      .withColumn("m", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band_key"))))
+      .where(col("m").between(2, stopFpFreq))
+      .groupBy(col("band_key"), col("m"))
+      .agg(sort_array(collect_list(col("conv_id"))).as("ms")))
     // kept vocabulary sizes per doc (the prefilter denominators), split by
     // tier: the tier-1 ratio is an EXACT containment measure (both its
     // numerator and denominator count only ≤ allPairsCap fingerprints) —
@@ -591,9 +604,12 @@ object DedupPipeline {
     * — surface these as a metric (no silent caps). */
   def winnowStopFingerprints(docs: DataFrame, k: Int, w: Int,
                              stopFpFreq: Int = 4096): DataFrame =
-    winnowBuckets(docs, k, w)
-      .where(col("m") > stopFpFreq)
-      .select(col("band_key"), col("m").as("bucket_n"))
+    // counts only — no member arrays for buckets that exist to be counted
+    docs.select(col("conv_id"),
+        explode(graft.functions.winnow_fingerprints(col("doc"), k, w)).as("band_key"))
+      .groupBy(col("band_key"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > stopFpFreq)
 
   private def simhashBands(signatures: DataFrame): DataFrame = {
     val bandKeys = array((0 until 4).map { b =>
