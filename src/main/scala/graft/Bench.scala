@@ -585,7 +585,7 @@ object Bench {
     // driver-UF vs distributed large-star/small-star on the same verified
     // edges, both widths, in executor-sized child JVMs. Failure leaves the
     // block empty rather than failing the bench.
-    def ccAb(cores: Int): Option[(Long, Double, Double, Boolean)] =
+    def ccAb(cores: Int): Option[(Long, Double, Double, Double, Double, Boolean)] =
       spawnChild(cores, "graft.tools.CcAb",
         Seq(cores.toString, edgesDir, nodesDir, ShufflePartitions), "CC_AB=")
         .flatMap { s =>
@@ -593,17 +593,21 @@ object Bench {
             case Array(k, v) => k -> v
           }.toMap
           try Some((m("edges").toLong, m("driver").toDouble,
-            m("star").toDouble, m("match").toBoolean))
+            m("star_auto").toDouble, m("star_on").toDouble,
+            m("star_off").toDouble, m("match").toBoolean))
           catch { case _: Throwable => None }
         }
     val ccBlock = if (fits("cc_distributed", 300.0)) {
       val ccHigh = ccAb(cpus)
       val ccLow = ccAb(lowCores)
       (ccHigh, ccLow) match {
-        case (Some((e, dH, sH, mH)), Some((_, dL, sL, mL))) =>
+        case (Some((e, dH, sH, onH, offH, mH)), Some((_, dL, sL, onL, offL, mL))) =>
           f""","cc_distributed":{"edges":$e,"driver_sec_low":$dL%.3f,"driver_sec_high":$dH%.3f,""" +
           f""""driver_eff":${dL / (4.0 * dH)}%.3f,"star_sec_low":$sL%.3f,"star_sec_high":$sH%.3f,""" +
-          f""""star_eff":${sL / (4.0 * sH)}%.3f,"assignments_match":${mH && mL}}"""
+          f""""star_eff":${sL / (4.0 * sH)}%.3f,""" +
+          f""""star_contract_on_low":$onL%.3f,"star_contract_on_high":$onH%.3f,""" +
+          f""""star_contract_off_low":$offL%.3f,"star_contract_off_high":$offH%.3f,""" +
+          f""""assignments_match":${mH && mL}}"""
         case _ => ""
       }
     } else ""

@@ -640,11 +640,15 @@ object DedupPipeline {
     * GraphX/RDD — converging in O(log n) rounds with per-round
     * localCheckpoint lineage cuts. Both paths produce IDENTICAL
     * assignments (min-id representative), so the switch is invisible to
-    * resume/recall. */
+    * resume/recall.
+    *
+    * `localContraction`: None (default) probes the edge stream's locality
+    * and runs the per-partition contraction pre-pass only when it would
+    * pay (see localContract); Some(b) forces it on/off. */
   def connectedComponents(edges0: DataFrame, allNodes: DataFrame,
                           maxIter: Int = 50,
                           driverMaxEdges: Long = 2000000L,
-                          localContraction: Boolean = true): DataFrame = {
+                          localContraction: Option[Boolean] = None): DataFrame = {
     val spark = edges0.sparkSession
 
     // materialize the edge set ONCE: the size probe and whichever CC path
@@ -732,8 +736,9 @@ object DedupPipeline {
     // on the 357k-edge bench set. On adversarial input (long chains
     // hash-scattered across partitions: CcScale's 3.36M-edge chain+cross
     // graph) local stitching finds nothing — same 10 rounds, +19% wall
-    // for the extra pass — hence the `localContraction` parameter for
-    // non-pipeline callers. Per-task memory is O(nodes in partition),
+    // for the extra pass — hence the default yield probe that skips this
+    // pass when the stream has no locality. Per-task memory is O(nodes in
+    // partition),
     // bounded by partition sizing; a safety cap passes overflow edges
     // through uncontracted (connectivity never drops).
     def localContract(e: DataFrame): DataFrame = {
@@ -754,9 +759,49 @@ object DedupPipeline {
     }
 
     val edgesPre = edges1.where(col("u") =!= col("v")).distinct()
-    var edges = (if (localContraction) localContract(edgesPre) else edgesPre)
-      .localCheckpoint(true)
+    // Materialize the deduped edge set once: the contraction probe and the
+    // first global round both read it.
+    val edgesBase = edgesPre.localCheckpoint(true)
     edges1.unpersist(false)
+
+    val doContract = localContraction.getOrElse(prof("contraction probe") {
+      // Locality probe: in-task union-find over two partitions of the
+      // materialized edge set. yield = starEdges/inEdges = 1 (to the
+      // probe's precision) means local stitching finds NOTHING — every
+      // in-partition component is a single edge (hash-scattered chains:
+      // CcScale reads exactly 1.000) and the pre-pass would only add a
+      // pass + checkpoint (+17-19% wall measured). Any real stitch
+      // (pipeline dup pairs leave the verify sort-merge grouped by key;
+      // CcAb's 357k-edge set reads 0.93) marks the clustered shape whose
+      // pre-pass cuts the star wall 15-20% — the win comes from the
+      // canonical (member, min) star form feeding round 1, not from the
+      // raw edge-count reduction, so the cut sits near 1, not at the
+      // break-even of edge counts. Probe cost: a scan of 2/P of
+      // already-checkpointed edges.
+      val rdd = edgesBase.select(col("u"), col("v")).rdd
+      val p = rdd.getNumPartitions
+      if (p == 0) false
+      else {
+        val probeParts = (if (p == 1) Seq(0) else Seq(0, p / 2)).distinct
+        val counts = spark.sparkContext.runJob(
+          rdd,
+          (it: Iterator[org.apache.spark.sql.Row]) => {
+            val uf = new UnionFind[String]()
+            var n = 0L
+            it.foreach { r => uf.union(r.getString(0), r.getString(1)); n += 1 }
+            (n, uf.assignments().count { case (m, root) => m != root }.toLong)
+          },
+          probeParts)
+        val n = counts.map(_._1).sum
+        val stars = counts.map(_._2).sum
+        if (ccProf) println(f"[cc] probe: edges=$n stars=$stars yield=${
+          if (n == 0) 1.0 else stars.toDouble / n}%.3f")
+        n > 0 && stars.toDouble / n <= 0.98
+      }
+    })
+    var edges =
+      if (doContract) localContract(edgesBase).localCheckpoint(true)
+      else edgesBase
 
     var converged = false
     var iter = 0

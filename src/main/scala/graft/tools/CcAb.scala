@@ -43,10 +43,12 @@ object CcAb {
       f
       (System.nanoTime() - t0) / 1e9
     }
-    // JIT both paths on a slice first
+    // JIT all paths and contraction modes on a slice first
     val tiny = verified.limit(1000).localCheckpoint(true)
     DedupPipeline.connectedComponents(tiny, nodes.limit(2000)).count()
-    DedupPipeline.connectedComponents(tiny, nodes.limit(2000), driverMaxEdges = 0L).count()
+    for (m <- Seq(None, Some(true), Some(false)))
+      DedupPipeline.connectedComponents(tiny, nodes.limit(2000), driverMaxEdges = 0L,
+        localContraction = m).count()
 
     // persist inside the timed section (materialization IS the stage cost)
     // so the match check below reuses the assignments instead of running
@@ -62,7 +64,20 @@ object CcAb {
       .where(col("cluster_id") =!= col("cluster_b") ||
         col("cluster_id").isNull || col("cluster_b").isNull)
       .count()
-    println(f"CC_AB=edges:$nEdges,driver:$tDriver%.3f,star:$tStar%.3f,match:${mismatches == 0}")
+    // contraction-mode legs on the star path: the default leg above runs
+    // the yield probe (auto); these pin the forced-on/forced-off walls so
+    // the probe's pick is visible next to both alternatives. Alternating
+    // best-of-2 (on,off,off,on) because single ~3 s legs on this box
+    // drift with leg order (accumulated cached blocks, GC)
+    def starLeg(m: Option[Boolean]): Double = timed(
+      DedupPipeline.connectedComponents(verified, nodes, driverMaxEdges = 0L,
+        localContraction = m).count())
+    val l1 = starLeg(Some(true)); val l2 = starLeg(Some(false))
+    val l3 = starLeg(Some(false)); val l4 = starLeg(Some(true))
+    val tOn = math.min(l1, l4)
+    val tOff = math.min(l2, l3)
+    println(f"CC_AB=edges:$nEdges,driver:$tDriver%.3f,star_auto:$tStar%.3f," +
+      f"star_on:$tOn%.3f,star_off:$tOff%.3f,match:${mismatches == 0}")
     spark.stop()
   }
 }

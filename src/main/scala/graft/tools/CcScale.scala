@@ -54,7 +54,7 @@ object CcScale {
       .persist(StorageLevel.MEMORY_AND_DISK)
     nodes.count()
 
-    def run(contraction: Boolean): (Double, DataFrame) = {
+    def run(contraction: Option[Boolean]): (Double, DataFrame) = {
       val t0 = System.nanoTime()
       val asg = DedupPipeline.connectedComponents(
           edges.select(col("a"), col("b")), nodes,
@@ -63,19 +63,24 @@ object CcScale {
       asg.count()
       ((System.nanoTime() - t0) / 1e9, asg)
     }
-    // JIT both shapes on a slice
+    // JIT all three shapes on a slice
     val tiny = edges.limit(1000).localCheckpoint(true)
-    DedupPipeline.connectedComponents(tiny, nodes.limit(100), driverMaxEdges = 0L).count()
-    DedupPipeline.connectedComponents(tiny, nodes.limit(100), driverMaxEdges = 0L,
-      localContraction = false).count()
+    for (m <- Seq(Some(true), Some(false), None))
+      DedupPipeline.connectedComponents(tiny, nodes.limit(100), driverMaxEdges = 0L,
+        localContraction = m).count()
 
     // round counts come from the [cc] profile lines (SPARK_GRAFT_CC_PROFILE)
-    val (tContracted, a) = run(contraction = true)
-    val (tPlain, b) = run(contraction = false)
+    val (tContracted, a) = run(Some(true))
+    val (tPlain, b) = run(Some(false))
+    // auto: on this hash-scattered graph the yield probe must skip the
+    // pre-pass, so tAuto/tPlain - 1 IS the probe overhead
+    val (tAuto, c) = run(None)
     val mismatch = a.withColumnRenamed("cluster_id", "ca")
       .join(b.withColumnRenamed("cluster_id", "cb"), Seq("conv_id"))
-      .where(col("ca") =!= col("cb")).count()
-    println(f"CC_SCALE=edges:$nEdges,contracted:$tContracted%.3f,plain:$tPlain%.3f,match:${mismatch == 0L}")
+      .join(c.withColumnRenamed("cluster_id", "cc"), Seq("conv_id"))
+      .where(col("ca") =!= col("cb") || col("ca") =!= col("cc")).count()
+    println(f"CC_SCALE=edges:$nEdges,contracted:$tContracted%.3f,plain:$tPlain%.3f," +
+      f"auto:$tAuto%.3f,auto_overhead:${tAuto / tPlain - 1.0}%.3f,match:${mismatch == 0L}")
     spark.stop()
   }
 }

@@ -163,6 +163,31 @@ class DedupPipelineSpec extends AnyFunSuite {
     assert(d2.values.toSet === Set("x000"))
   }
 
+  test("contraction yield probe: auto, forced-on, forced-off all agree") {
+    import spark.implicits._
+    // clustered shape (near-cliques co-partitioned: high yield, probe
+    // should pick the pre-pass) and scattered shape (chain spread across
+    // partitions: yield ~1, probe should skip) — assignments must be
+    // identical across all three modes either way
+    val cliques = (0 until 40).flatMap { c =>
+      val ms = (0 until 6).map(i => f"q$c%02d_$i")
+      ms.sliding(2).map(p => (p(0), p(1))) ++ ms.tail.map(m => (ms.head, m))
+    }.toDF("a", "b").repartition(4, col("a"))
+    val cliqueNodes = (0 until 40).flatMap(c => (0 until 6).map(i => f"q$c%02d_$i"))
+      .toDF("conv_id")
+    val chain = (0 until 199).map(i => (f"s$i%03d", f"s${i + 1}%03d"))
+      .toDF("a", "b").repartition(23)
+    val chainNodes = (0 until 200).map(i => f"s$i%03d").toDF("conv_id")
+    for ((e, ns) <- Seq((cliques, cliqueNodes), (chain, chainNodes))) {
+      val res = Seq(None, Some(true), Some(false)).map { m =>
+        DedupPipeline.connectedComponents(e, ns, driverMaxEdges = 0, localContraction = m)
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      }
+      assert(res(0) === res(1))
+      assert(res(0) === res(2))
+    }
+  }
+
   test("candidate pairs stay linear in bucket size (skew guard)") {
     import spark.implicits._
     // 100 members in one hot band bucket: all-pairs would be 4950 edges;
