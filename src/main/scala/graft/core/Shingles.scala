@@ -77,6 +77,24 @@ object Shingles {
     w
   }
 
+  /** Distinct shingle hashes inserted into `set` (caller resets it with the
+    * expected window count first) — the probe-kernel counterpart of
+    * `shinglesInto`: no sort, dedup happens in the hash table. */
+  def shinglesIntoSet(base: AnyRef, offset: Long, len: Int, k: Int, seed: Long,
+                      set: LongHashSet): Unit = {
+    if (len < k) {
+      if (len == 0) return
+      set.add(Murmur3x128.hash64(base, offset, len, seed))
+      return
+    }
+    val n = len - k + 1
+    var i = 0
+    while (i < n) {
+      set.add(Murmur3x128.hash64(base, offset + i, k, seed))
+      i += 1
+    }
+  }
+
   /** Exact Jaccard of two sorted-distinct arrays via merge intersection —
     * no allocation (SURVEY §4.3: array_intersect+size allocates; this is the
     * verification hot loop). */

@@ -94,15 +94,32 @@ object PairVerify {
     * tens of MB per executor thread for the application lifetime. */
   private final val RetainCap = 1 << 19 // 512k shingles ≈ 4 MB per buffer
 
+  /** Kernel selection: "probe" (open-addressing hash set + probe
+    * intersect — default) vs "merge" (sorted-shingle arrays + merge
+    * intersect). Identical results (same inter/union integers → same
+    * doubles; SimHash votes are order-insensitive — VerifyKernelSpec).
+    * Default from the same-sitting 8/32-thread A/B (VerifyKernelBench,
+    * BENCH/BASELINE.md r5): probe wins 21-37% in BOTH regimes — fresh-B
+    * (no sort on recompute) and memo-hit (the merge's 50/50 x<y branch
+    * mispredicts per element; the probe's near-dup hit branch is
+    * predictable and the table is L2-resident at typical doc sizes).
+    * SPARK_GRAFT_VERIFY_KERNEL=merge re-selects the loser per JVM for
+    * re-measurement. */
+  private[graft] val KernelProbe: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_VERIFY_KERNEL", "probe") == "probe"
+
   /** One side's reusable state: the shingle buffer plus a LAST-SEEN memo.
     * The verify stream arrives from a sort-merge join, so consecutive rows
     * repeat one side's doc (a doc in p pairs is shingled once, not p
     * times); the memo is gated by an exact byte compare (memcmp ≪ the
     * rolling-hash shingling + sort it skips), keyed with (k, seed) so a
     * config change in the same session can never serve stale shingles. */
-  private final class Side {
+  private[graft] final class Side(probe: Boolean) {
     private var buf: Array[Long] = new Array[Long](2048) // retained, ≤ RetainCap
     var res: Array[Long] = buf // the array holding the CURRENT row's shingles
+    private val pset: graft.core.LongHashSet =
+      if (probe) new graft.core.LongHashSet(2048) else null
+    var set: graft.core.LongHashSet = pset // the CURRENT row's shingle set (probe kernel)
     var key: Array[Byte] = new Array[Byte](0) // copied bytes of the memoized doc
     var keyLen: Int = -1
     var n: Int = 0 // shingle count of the memoized doc
@@ -123,39 +140,59 @@ object PairVerify {
       * ADVICE r3) and the memo is invalidated instead. */
     def recompute(d: UTF8String, kk: Int, sd: Long): Unit = {
       val need = math.max(1, d.numBytes)
-      if (need > RetainCap) {
-        res = new Array[Long](need) // transient; buf stays bounded
+      val transient0 = need > RetainCap
+      if (transient0) {
         keyLen = -1
       } else {
         // grow to the next power of two, floored at 2: for need == 1 the
         // unfloored form is highestOneBit(0) << 1 == 0, which would hand
         // copyMemory a zero-length target and corrupt the heap (ADVICE r4)
-        if (buf.length < need) buf = new Array[Long](Integer.highestOneBit(math.max(need, 2) - 1) << 1)
-        res = buf
         if (key.length < need) key = new Array[Byte](Integer.highestOneBit(math.max(need, 2) - 1) << 1)
         org.apache.spark.unsafe.Platform.copyMemory(
           d.getBaseObject, d.getBaseOffset,
           key, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, d.numBytes)
         keyLen = d.numBytes; k = kk; seed = sd
       }
-      n = graft.core.Shingles.shinglesInto(d.getBaseObject, d.getBaseOffset, d.numBytes, kk, sd, res)
-      fp = graft.core.SimHash64.fingerprint(res, n)
+      if (probe) {
+        if (transient0) set = new graft.core.LongHashSet(need) // transient; pset stays bounded
+        else { set = pset; set.reset(need) }
+        graft.core.Shingles.shinglesIntoSet(
+          d.getBaseObject, d.getBaseOffset, d.numBytes, kk, sd, set)
+        n = set.size
+        fp = graft.core.SimHash64.fingerprint(set.elems, n)
+      } else {
+        if (transient0) res = new Array[Long](need) // transient; buf stays bounded
+        else {
+          if (buf.length < need) buf = new Array[Long](Integer.highestOneBit(math.max(need, 2) - 1) << 1)
+          res = buf
+        }
+        n = graft.core.Shingles.shinglesInto(d.getBaseObject, d.getBaseOffset, d.numBytes, kk, sd, res)
+        fp = graft.core.SimHash64.fingerprint(res, n)
+      }
     }
   }
 
-  private final class Scratch {
-    val a = new Side
-    val b = new Side
+  private[graft] final class Scratch(probe: Boolean) {
+    val a = new Side(probe)
+    val b = new Side(probe)
   }
   private val scratch: ThreadLocal[Scratch] =
-    ThreadLocal.withInitial(() => new Scratch)
+    ThreadLocal.withInitial(() => new Scratch(KernelProbe))
 
-  def compute(a: UTF8String, b: UTF8String, k: Int, seed: Long): org.apache.spark.sql.catalyst.InternalRow = {
-    val s = scratch.get()
+  /** Kernel body on an explicit scratch — the A/B harness and equivalence
+    * spec drive both kernels in one JVM through this. */
+  private[graft] def computeWith(s: Scratch, a: UTF8String, b: UTF8String,
+                                 k: Int, seed: Long, probe: Boolean): (Double, Int) = {
     if (!s.a.hit(a, k, seed)) s.a.recompute(a, k, seed)
     if (!s.b.hit(b, k, seed)) s.b.recompute(b, k, seed)
-    val j = graft.core.Shingles.jaccardSorted(s.a.res, s.a.n, s.b.res, s.b.n)
-    val dist = graft.core.SimHash64.hammingDist(s.a.fp, s.b.fp)
+    val j =
+      if (probe) graft.core.LongHashSet.jaccardProbe(s.a.set, s.b.set)
+      else graft.core.Shingles.jaccardSorted(s.a.res, s.a.n, s.b.res, s.b.n)
+    (j, graft.core.SimHash64.hammingDist(s.a.fp, s.b.fp))
+  }
+
+  def compute(a: UTF8String, b: UTF8String, k: Int, seed: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    val (j, dist) = computeWith(scratch.get(), a, b, k, seed, KernelProbe)
     org.apache.spark.sql.catalyst.InternalRow(j, dist)
   }
 }
