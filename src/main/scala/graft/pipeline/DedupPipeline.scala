@@ -224,7 +224,18 @@ object DedupPipeline {
       // chain edge: (prev, conv_id) when prev exists; star edge:
       // (bucket_first, conv_id) when it adds information beyond the chain
       // (null `when` arms drop out in the filter below).
+      //
+      // The repartition is EXPLICIT for the same reason as verifyPairs
+      // step 1: left to AQE, the window's exchange coalesces to ~cores
+      // (35 partitions at 32 cores, 14 at 8 on the 1M band stream) and
+      // this stage's uniform sort-heavy tasks then run in two waves with
+      // a mostly-idle second wave — measured 7.6 s of the 14.7 s stage
+      // wall at 32 cores. An explicit partition count is honored by AQE,
+      // keeps tasks ~1/8 the size (cache-friendlier sorts), and satisfies
+      // the window's required distribution so no second exchange appears.
+      val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
       df
+        .repartition(nParts, pcols: _*)
         .withColumn("h", xxhash64(col("conv_id")))
         .withColumn("prev", lag(col("conv_id"), 1).over(w))
         .withColumn("bmin", first(col("conv_id")).over(wAll))
