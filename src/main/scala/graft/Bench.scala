@@ -506,18 +506,23 @@ object Bench {
     }
 
     // --- block 3: pair_exec_2_8 — REAL executor-count scaling -------------
-    // `local-cluster[2,1,mem]` vs `local-cluster[8,1,mem]` runs standalone
+    // `local-cluster[2,2,mem]` vs `local-cluster[8,2,mem]` runs standalone
     // executors as separate JVMs (own heaps, shuffle over netty), varying
     // ONLY the executor count with per-executor cores and heap fixed —
-    // literally "N executors vs 4N executors". 2x1 (not 1x2) as the low
-    // leg so BOTH sides are multi-executor and pay network shuffle — a
-    // single-executor baseline shuffles inside its own JVM and biases the
-    // ratio down in a way a real N→4N cluster doesn't (measured: 1x2→4x2
-    // 0.611 vs 2x1→8x1 0.618 on the same corpus/window). Bracketed and
-    // gated exactly like pair_2_8; best-of-2 on the short 8-executor legs
-    // (they swung 134→179 s across one bracket in probing); the ~6-min
-    // 2-executor leg stays single-shot — it integrates enough window
-    // already and is bracketed on both sides.
+    // literally "N executors vs 4N executors". Both sides multi-executor
+    // so both pay network shuffle (a single-executor baseline shuffles
+    // inside its own JVM and biases the ratio down — r4: 1x2→4x2 0.611 vs
+    // 2x1→8x1 0.618). TWO-core executors, not one (r5, task-metrics
+    // profiled): a 1-core executor JVM is an unfaithful unit — ergonomics
+    // pick SerialGC under an 8g heap (gc 23 s vs 4 s with G1 forced),
+    // the lone core is shared with C2/GC/netty event loops (shuffle WRITE
+    // time 85 s vs 3.9 s in-process for the same 5.7 GB), and at equal
+    // total cores 1-core executors cost +20% over in-process vs +6% for
+    // 2-core (8x1 99.2 s, 4x2 87.5 s, local[8] 82.4 s, same sitting). A
+    // real cluster runs multi-core executors; 2 is the smallest faithful
+    // size. Bracketed and gated exactly like pair_2_8; best-of-2 on the
+    // short 8-executor legs; the 2x2 leg stays single-shot — it
+    // integrates enough window already and is bracketed on both sides.
     def execLeg(spec: String, totalCores: Int, repeats: Int = 1): Option[(Double, graft.tools.StealMeter.Window)] = {
       val r = graft.tools.StealMeter.measure(
         spawnChild(totalCores, "graft.tools.DedupOnce",
@@ -527,9 +532,9 @@ object Bench {
     def bracketExec(): Option[Bracket] = {
       val w0 = elapsedSec
       for {
-        (t8b, w8b) <- execLeg("8x1", 8, repeats = 2)
-        (t2, w2) <- execLeg("2x1", 2)
-        (t8c, w8c) <- execLeg("8x1", 8, repeats = 2)
+        (t8b, w8b) <- execLeg("8x2", 16, repeats = 2)
+        (t2, w2) <- execLeg("2x2", 4)
+        (t8c, w8c) <- execLeg("8x2", 16, repeats = 2)
       } yield Bracket(t8b, t2, t8c, w8b.stealShare, w2.stealShare, w8c.stealShare,
         ceil28(), Seq("local-cluster"), elapsedSec - w0)
     }
@@ -556,7 +561,7 @@ object Bench {
         // 8->32 in-process-thread protocol
         extraBlocks +=
           f""","scaling_efficiency_exec_2_8":${medianEff(execBrackets.toSeq)}%.3f""" +
-          s""","pair_exec_2_8":{"execs_low":2,"execs_high":8,"cores_per_exec":1,""" +
+          s""","pair_exec_2_8":{"execs_low":2,"execs_high":8,"cores_per_exec":2,""" +
           s""""exec_mem_mb":${sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192")},""" +
           bracketJson(execBrackets.toSeq, -1.0, "") + "}"
         flush()

@@ -69,9 +69,11 @@ object DedupOnce {
           // C-core container (cgroup limit → availableProcessors = C); by
           // default every executor sees all 32 host CPUs and N executors
           // spawn N×32-wide GC/compiler thread pools on one box — the same
-          // distortion the in-process legs fix with -XX:ActiveProcessorCount
+          // distortion the in-process legs fix with -XX:ActiveProcessorCount.
+          // SPARK_GRAFT_EXEC_EXTRA_OPTS appends probe flags (GC choice etc.)
           .config("spark.executor.extraJavaOptions",
-            s"-XX:ActiveProcessorCount=$c")
+            (s"-XX:ActiveProcessorCount=$c " +
+              sys.env.getOrElse("SPARK_GRAFT_EXEC_EXTRA_OPTS", "")).trim)
       case cores =>
         builder.master(s"local[${cores.toInt}]")
     }).getOrCreate()
@@ -83,13 +85,20 @@ object DedupOnce {
     val df = graft.pipeline.BucketedCorpus.readAuto(spark, corpusDir)
     df.count() // warm page cache
     DedupPipeline.run(df.where(col("conv_id") <= "conv-000200"), cfg).count() // JIT
-    val best = (1 to repeats).map { _ =>
+    val metrics = TaskMetricsAgg.maybeInstall(spark)
+    val best = (1 to repeats).map { r =>
       // drop cached stage outputs: each repeat must do the full pipeline
       // (Spark's cache manager matches canonicalized plans across runs)
       spark.sharedState.cacheManager.clearCache()
+      metrics.foreach(_.reset())
       val t0 = System.nanoTime()
       DedupPipeline.run(df, cfg).count()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      metrics.foreach { m =>
+        Thread.sleep(1500) // listener events drain asynchronously; settle
+        println(m.report(f"${args(0)}:rep$r:wall:$sec%.1f"))
+      }
+      sec
     }.min
     println(f"DEDUP_ONCE_SECONDS=$best%.3f")
     spark.stop()
