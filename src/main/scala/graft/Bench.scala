@@ -285,7 +285,8 @@ object Bench {
     }
     def ceil28(): Double =
       try graft.tools.CpuScale.probe2to8() catch { case _: Throwable => -1.0 }
-    def bracketJson(bs: Seq[Bracket], membw2: Double, extraKeys: String): String = {
+    def bracketJson(bs: Seq[Bracket], membw2: Double, extraKeys: String,
+                    ceilKey: String = "kernel_ceiling_2_8"): String = {
       // primary bracket = first clean one, else the least-disagreeing
       val primary = bs.find(_.clean).getOrElse(bs.minBy(_.disagree))
       val votingB = { val c = bs.filter(_.clean); if (c.nonEmpty) c else bs }
@@ -305,7 +306,7 @@ object Bench {
       f""""turns_per_sec_low":${nTurns / primary.t2}%.1f,""" +
       f""""turns_per_sec_high":${nTurns / math.min(primary.t8b, primary.t8c)}%.1f,""" +
       f""""steal_low":${primary.s2}%.4f,"steal_high":[${primary.s8b}%.4f,${primary.s8c}%.4f],""" +
-      f""""kernel_ceiling_2_8":${primary.ceil}%.3f,""" +
+      f""""$ceilKey":${primary.ceil}%.3f,""" +
       f""""efficiency_vs_ceiling":${if (primary.ceil > 0) primary.eff / primary.ceil else -1.0}%.3f,""" +
       f""""membw_gbps_2":$membw2%.1f,""" +
       s""""protocol":"${bs.flatMap(_.protos).distinct.mkString("+")}""""
@@ -535,8 +536,12 @@ object Bench {
         (t8b, w8b) <- execLeg("8x2", 16, repeats = 2)
         (t2, w2) <- execLeg("2x2", 4)
         (t8c, w8c) <- execLeg("8x2", 16, repeats = 2)
+        // ceiling probe matched to the legs' TOTAL core range (4 vs 16,
+        // not 2 vs 8): past 8 threads this box sheds bandwidth, so the
+        // 2→8 probe overstates what 16 cores can express
       } yield Bracket(t8b, t2, t8c, w8b.stealShare, w2.stealShare, w8c.stealShare,
-        ceil28(), Seq("local-cluster"), elapsedSec - w0)
+        try graft.tools.CpuScale.probe4to16() catch { case _: Throwable => -1.0 },
+        Seq("local-cluster"), elapsedSec - w0)
     }
     // cost estimate from the measured in-process bracket (same corpus and
     // widths; executor launch + netty add ~15-25%) — r4's 5.5·secLow guess
@@ -548,11 +553,14 @@ object Bench {
         fits("pair_exec_2_8", execEst)) {
       val execBrackets = scala.collection.mutable.ArrayBuffer.empty[Bracket]
       bracketExec().foreach(execBrackets += _)
-      // one resample if dirty and the budget still holds the 8→32 block
+      // one resample if dirty — reserving only ONE diagnostic 8→32 pair
+      // plus the CC block behind it (VERDICT r4 priority: protocol
+      // evidence outranks diagnostics; r5's flat 25%-of-budget reserve
+      // skipped this resample by a hair while two 8→32 pairs still ran)
       while (execBrackets.nonEmpty && !execBrackets.exists(_.clean) &&
         execBrackets.length < 2 &&
         fits("pair_exec_resample",
-          execBrackets.map(_.wall).max * 1.1 + budgetSec * 0.25))
+          execBrackets.map(_.wall).max * 1.1 + pairCostEst + 300.0))
         bracketExec().foreach(execBrackets += _)
       if (execBrackets.nonEmpty) {
         // the literal north-rule protocol — N vs 4N REAL executor JVMs
@@ -563,7 +571,7 @@ object Bench {
           f""","scaling_efficiency_exec_2_8":${medianEff(execBrackets.toSeq)}%.3f""" +
           s""","pair_exec_2_8":{"execs_low":2,"execs_high":8,"cores_per_exec":2,""" +
           s""""exec_mem_mb":${sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192")},""" +
-          bracketJson(execBrackets.toSeq, -1.0, "") + "}"
+          bracketJson(execBrackets.toSeq, -1.0, "", ceilKey = "kernel_ceiling_4_16") + "}"
         flush()
       }
     }
@@ -571,22 +579,22 @@ object Bench {
     // --- block 4: the 8→32 in-process pairs (diagnostic) ------------------
     // Box-capped (MemBw: bandwidth FALLS 8→32 on this VM) — recorded for
     // r2–r4 history continuity and the per-pair ceiling instruments, AFTER
-    // the protocol evidence. Two pairs minimum; a third plus adaptive
-    // extras (to 7, until the middle three sorted ratios agree to 0.15)
-    // when the budget allows, always reserving the CC block's ~300 s.
+    // the protocol evidence. ONE pair here; the CC A/B (block 5) runs
+    // next, and only then a second pair plus adaptive extras (to 7, until
+    // the middle three sorted ratios agree to 0.15) as pure diagnostics.
     def pairCostEst: Double =
       if (rounds.nonEmpty) rounds.map(r => 2.2 * (r.th + r.tl)).max
       else if (pair28Brackets.nonEmpty)
         // th ≈ half the 8-core leg, tl = the 8-core leg, best-of-2 each
         2.2 * 1.5 * pair28Brackets.map(b => math.min(b.t8b, b.t8c)).min
       else 300.0
-    runPair(); runPair()
-    while (rounds.length < 7 &&
-      (midSpread() > 0.15 || cleanRounds.size < 2 || rounds.length < 3) &&
-      fits("extra_pairs", pairCostEst + 300.0)) runPair()
+    runPair() // one pair: history continuity + the per-pair ceiling quotient
     flush()
 
     // --- block 5: CC A/B at bench scale (VERDICT r3 #4) --------------------
+    // Runs BEFORE the second diagnostic pair: r5's full run spent its tail
+    // budget on mandatory pairs and shed this block entirely; one 8→32
+    // pair + the CC A/B carries more information than two pairs and no CC.
     // driver-UF vs distributed large-star/small-star on the same verified
     // edges, both widths, in executor-sized child JVMs. Failure leaves the
     // block empty rather than failing the bench.
@@ -617,6 +625,13 @@ object Bench {
       }
     } else ""
     extraBlocks += ccBlock
+    flush()
+
+    // --- block 4b: second 8→32 pair + adaptive extras (pure diagnostics) --
+    if (fits("second_pair_8_32", pairCostEst)) runPair()
+    while (rounds.length < 7 &&
+      (midSpread() > 0.15 || cleanRounds.size < 2 || rounds.length < 3) &&
+      fits("extra_pairs", pairCostEst)) runPair()
     flush()
 
     println(currentLine())

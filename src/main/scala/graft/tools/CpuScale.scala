@@ -76,6 +76,19 @@ object CpuScale {
     tp8 / (4.0 * tp2)
   }
 
+  /** Kernel ceiling matched to the executor pair's ACTUAL core range:
+    * local-cluster[2,2] vs [8,2] runs 4 vs 16 TOTAL cores, and on this
+    * box bandwidth already sags past 8 threads — bounding a 4→16-core
+    * measurement with a 2→8-thread probe overstates the ceiling and
+    * understates efficiency_vs_ceiling (r5: exec eff 0.682 read 0.791
+    * of the mismatched 2→8 ceiling 0.862). */
+  def probe4to16(total: Int = 51200): Double = {
+    if (!warmed) { work(400); warmed = true }
+    val tp4 = (1 to 3).map(_ => throughput(4, total)).max
+    val tp16 = (1 to 3).map(_ => throughput(16, total)).max
+    tp16 / (4.0 * tp4)
+  }
+
   def main(args: Array[String]): Unit = {
     val docsPerThread = if (args.nonEmpty) args(0).toInt else 400
     work(200)
