@@ -43,6 +43,15 @@ object DedupOnce {
         sys.env.getOrElse("SPARK_GRAFT_MAX_SPLIT", "16m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // A/B lever passthrough: SPARK_GRAFT_EXTRA_CONFS="k=v;k2=v2" applies
+    // arbitrary spark confs to this leg only (shuffle buffer sizes, fetch
+    // knobs, …) so scaling-protocol levers can be measured without edits
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach {
+      _.split(";").iterator.map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val i = kv.indexOf('=')
+        builder.config(kv.substring(0, i), kv.substring(i + 1))
+      }
+    }
     val spark = (args(0) match {
       case ClusterSpec(n, c) =>
         // 8g matches the in-process legs' heap: the 1-executor leg must
