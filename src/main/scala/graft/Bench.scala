@@ -553,14 +553,17 @@ object Bench {
         fits("pair_exec_2_8", execEst)) {
       val execBrackets = scala.collection.mutable.ArrayBuffer.empty[Bracket]
       bracketExec().foreach(execBrackets += _)
-      // one resample if dirty — reserving only ONE diagnostic 8→32 pair
-      // plus the CC block behind it (VERDICT r4 priority: protocol
-      // evidence outranks diagnostics; r5's flat 25%-of-budget reserve
-      // skipped this resample by a hair while two 8→32 pairs still ran)
+      // one resample if dirty — reserving only the CC block behind it.
+      // Diagnostic 8→32 pairs are NOT reserved for: they are box-capped
+      // history with four rounds on record, while a clean exec bracket is
+      // the north-rule protocol itself (r5a: the old reserve of one diag
+      // pair + CC made the resample miss the budget by ~250 s whenever
+      // pair_2_8 had needed a second bracket, and the dirty 7% exec
+      // bracket stood as the round's only reading)
       while (execBrackets.nonEmpty && !execBrackets.exists(_.clean) &&
         execBrackets.length < 2 &&
         fits("pair_exec_resample",
-          execBrackets.map(_.wall).max * 1.1 + pairCostEst + 300.0))
+          execBrackets.map(_.wall).max * 1.1 + 300.0))
         bracketExec().foreach(execBrackets += _)
       if (execBrackets.nonEmpty) {
         // the literal north-rule protocol — N vs 4N REAL executor JVMs
@@ -588,7 +591,10 @@ object Bench {
         // th ≈ half the 8-core leg, tl = the 8-core leg, best-of-2 each
         2.2 * 1.5 * pair28Brackets.map(b => math.min(b.t8b, b.t8c)).min
       else 300.0
-    runPair() // one pair: history continuity + the per-pair ceiling quotient
+    // one pair: history continuity + the per-pair ceiling quotient (gated —
+    // a worst-case run that spent three pair_2_8 brackets plus two exec
+    // brackets must still FINISH and print the final line)
+    if (fits("first_pair_8_32", pairCostEst)) runPair()
     flush()
 
     // --- block 5: CC A/B at bench scale (VERDICT r3 #4) --------------------

@@ -303,11 +303,18 @@ object DedupPipeline {
     */
   def verifyPairs(candPairs: DataFrame, docs: DataFrame,
                   cfg: DedupConfig): DataFrame = {
-    val parts = candPairs.sparkSession.sessionState.conf.numShufflePartitions
     // persisted because BOTH the candidate-id semi-join below and the
     // verification join consume it — without the cache the whole upstream
-    // candidate subtree (banding windows / winnow tiers) computes twice
-    val spread = trackPersist(candPairs.repartition(parts, col("a")))
+    // candidate subtree (banding windows / winnow tiers) computes twice.
+    // No explicit partition count on the spread: with one, AQE must leave
+    // the exchange alone, so a few-thousand-pair stream (sf0.1 queries,
+    // resume re-verification) pays 4 stages x 256 near-empty task launches;
+    // without one, AQE's parallelism-first coalescing keeps ~total-cores
+    // partitions for heavy streams (it ignores the 64 MB advisory target
+    // and respects only the 1 MB minimum) and folds tiny streams to a
+    // handful of tasks. Hash-distributing on `a` still spreads hot heads
+    // across whatever count AQE picks.
+    val spread = trackPersist(candPairs.repartition(col("a")))
 
     val candIds = spread.select(col("a").as("conv_id"))
       .unionByName(spread.select(col("b").as("conv_id")))
@@ -404,10 +411,18 @@ object DedupPipeline {
   private[graft] def winnowPairStream(buckets: DataFrame, allPairsCap: Int,
                                       subBucketSize: Int,
                                       tier2PairRecall: Boolean = false): DataFrame = {
-    // tier 1: bounded all-pairs; each co-occurrence contributes exactly 1
+    // tier 1: bounded all-pairs; each co-occurrence contributes exactly 1.
+    // Two chained explodes instead of one explode over a nested combo
+    // array: arrayCombos materializes C(m,2) two-field structs per bucket
+    // row before the Generate can stream them (32k InternalRows for a
+    // 256-member bucket); posexplode + slice keeps everything in primitive
+    // long arrays and streams pairs through both Generates pipelined
     val t1 = buckets.where(col("m") <= allPairsCap)
-      .select(explode(arrayCombos(col("ms"))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"), lit(1L).as("wt"))
+      .select(col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ms"), col("i") + lit(2), size(col("ms")))).as("b"),
+        lit(1L).as("wt"))
+      .select(col("a"), col("b"), col("wt"))
     // tier 2: deterministic salted sub-buckets of ~subBucketSize members
     // (salt is per (doc, bucket), so each bucket splits independently).
     // Work per bucket is LINEAR in bucket size — what makes
