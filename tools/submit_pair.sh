@@ -8,8 +8,12 @@
 #
 # Runs graft.Main (the checkpointed production pipeline: every stage
 # written to the work dir with per-partition lineage + metrics, resumable
-# by --run-id) under local-cluster[N,1,8192]: N real executor JVMs of
-# 1 core / 8 GiB each. Legs are bracketed 8,2,8 — the short legs sample
+# by --run-id) under local-cluster[N,2,8192]: N real executor JVMs of
+# 2 cores / 8 GiB each (round 5: 1-core executor JVMs are an unfaithful
+# unit — SerialGC ergonomics under an 8g heap and C2/GC/netty sharing the
+# lone task core inflate shuffle write 22x; 2 cores is the smallest
+# faithful executor, BENCH/BASELINE.md round-5 section). Legs are
+# bracketed 8,2,8 — the short legs sample
 # the host window on both sides of the long one (this shared VM drifts
 # ±20-30% on a scale of minutes).
 set -e
@@ -25,13 +29,13 @@ leg() { # leg <nExecs> <runTag>  -> seconds on stdout
   rm -rf "$work"
   local t0=$(date +%s%N)
   "$SUBMIT" \
-    --master "local-cluster[$n,1,8192]" \
+    --master "local-cluster[$n,2,8192]" \
     --class graft.Main \
     --conf spark.executor.memory=8g \
     --conf spark.sql.shuffle.partitions=256 \
     --conf spark.sql.files.maxPartitionBytes=16m \
     --conf spark.locality.wait=0 \
-    --conf spark.executor.extraJavaOptions=-XX:ActiveProcessorCount=1 \
+    --conf spark.executor.extraJavaOptions=-XX:ActiveProcessorCount=2 \
     --conf spark.ui.enabled=false \
     --driver-memory 4g \
     "$JAR" \
@@ -55,9 +59,9 @@ ms8a, ms2, ms8b, st8a, st2, st8b = map(int, sys.argv[1:7])
 t8 = (ms8a + ms8b) / 2000.0
 t2 = ms2 / 1000.0
 print(json.dumps({
-  "protocol": "spark-submit --master local-cluster[N,1,8192] --class graft.Main (checkpointed production pipeline, stage writes + lineage + metrics included)",
+  "protocol": "spark-submit --master local-cluster[N,2,8192] --class graft.Main (checkpointed production pipeline, stage writes + lineage + metrics included)",
   "corpus": sys.argv[7],
-  "execs_low": 2, "execs_high": 8, "cores_per_exec": 1,
+  "execs_low": 2, "execs_high": 8, "cores_per_exec": 2,
   "sec_low": round(t2, 1),
   "sec_high_before": round(ms8a/1000.0, 1), "sec_high_after": round(ms8b/1000.0, 1),
   "efficiency": round(t2 / (4.0 * t8), 3),
