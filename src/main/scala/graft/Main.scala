@@ -52,7 +52,13 @@ object Main {
       case None => new ParquetTableIO(workdir)
     }
     val pipeline = new CheckpointedDedup(io, DedupConfig(), runId)
-    val assignments = pipeline.run(transcripts)
+    // bucketed input dirs stream the docs stage off the bucket sort
+    // (identical output, no hash aggregation — DocsSortedSpec)
+    val docsBuilder =
+      if (!input.startsWith("synth:") && graft.pipeline.BucketedCorpus.isBucketed(input))
+        Some(() => graft.pipeline.BucketedCorpus.readDocs(spark, input))
+      else None
+    val assignments = pipeline.run(transcripts, docsBuilder)
 
     val nClusters = assignments.select("cluster_id").distinct().count()
     val nConvs = assignments.count()

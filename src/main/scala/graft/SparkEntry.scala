@@ -712,9 +712,20 @@ object SparkEntry {
       if (fs.exists(wh)) fs.delete(wh, true)
       val io = new CatalogTableIO(ns)
       val turnsDf = docTranscriptsCached(s, dir)
-      new CheckpointedDedup(io, cfg, "q30").run(turnsDf).count()
+      // the docs stage runs the PRODUCTION path: streaming reconstruction
+      // off a bucketed copy of the same corpus (BucketedCorpus.readDocs →
+      // buildDocsSorted) — the row-for-row assignment match against
+      // DuckDB's recursive-CTE clustering below is then driver-green
+      // evidence for the streaming path, not just for buildDocs
+      val bdir = sharedTranscriptsDir(s, dir) + "-bucketed"
+      SparkEntry.synchronized {
+        if (!graft.pipeline.BucketedCorpus.isBucketed(bdir))
+          graft.pipeline.BucketedCorpus.write(turnsDf, bdir, buckets = 16)
+      }
+      val docsBuilder = Some(() => graft.pipeline.BucketedCorpus.readDocs(s, bdir))
+      new CheckpointedDedup(io, cfg, "q30").run(turnsDf, docsBuilder).count()
       val again = new CheckpointedDedup(io, cfg, "q30")
-      again.run(turnsDf).count()
+      again.run(turnsDf, docsBuilder).count()
       val resumeZero = again.computedStages.isEmpty
       val metricsStages = io.read(s, "q30/metrics")
         .select(col("stage")).distinct().count()

@@ -79,4 +79,54 @@ object BucketedCorpus {
     * free doc reconstruction) or scattered plain parquet. */
   def readAuto(spark: SparkSession, dir: String): DataFrame =
     if (isBucketed(dir)) read(spark, dir) else spark.read.parquet(dir)
+
+  /** True when every bucket holds exactly ONE file — the layout `write`
+    * produces, and the precondition for the streaming doc path: a
+    * multi-file bucket (appends) scans its files back-to-back within one
+    * task, so conv_id groups are no longer contiguous across the file
+    * boundary. Spark bucketing carries the bucket id in the file name
+    * (`part-...._NNNNN.`), so this is a directory listing, no file reads. */
+  def singleFilePerBucket(dir: String): Boolean = {
+    val files = new java.io.File(dir).listFiles()
+    if (files == null) return false
+    val bucketIds = files.iterator
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .flatMap { f =>
+        "_(\\d{5})\\.".r.findFirstMatchIn(f.getName).map(_.group(1).toInt)
+      }.toSeq
+    bucketIds.nonEmpty && bucketIds.distinct.length == bucketIds.length
+  }
+
+  /** Reconstructed docs(conv_id, doc, n_turns, doc_len) off `dir`, by the
+    * cheapest correct path the layout supports:
+    *  - bucketed, one sorted file per bucket → streaming one-pass merge
+    *    over the bucket sort (DedupPipeline.buildDocsSorted — no hash
+    *    aggregation, O(1) state per task; output proven identical to
+    *    buildDocs by DocsSortedSpec);
+    *  - anything else → the exchange-planned groupBy (buildDocs).
+    * With Iceberg, "one sorted file per bucket" generalizes to "each data
+    * file covers disjoint conv_id ranges within its bucket", which the
+    * table's sort order + compaction maintain; the fallback stays correct
+    * regardless.
+    * `where` (optional) filters the SCAN before reconstruction — a
+    * row-level filter neither reorders a partition nor merges conv_ids
+    * across partitions, so both paths stay correct (note a turn-level
+    * predicate drops turns from surviving docs; conv_id predicates are
+    * the intended use). */
+  def readDocs(spark: SparkSession, dir: String,
+               where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    def filtered(df: DataFrame) = where.map(df.filter).getOrElse(df)
+    // measurement escape hatch (same pattern as SPARK_GRAFT_STRING_PATH /
+    // SPARK_GRAFT_VERIFY_KERNEL): force one path for same-sitting A/Bs
+    val force = sys.env.get("SPARK_GRAFT_DOCS_PATH") // "agg" | "stream"
+    val streaming = force match {
+      case Some("agg") => false
+      case Some("stream") => true
+      case _ => isBucketed(dir) && singleFilePerBucket(dir)
+    }
+    if (streaming)
+      graft.pipeline.DedupPipeline.buildDocsSorted(filtered(read(spark, dir)))
+    else
+      graft.pipeline.DedupPipeline.buildDocs(filtered(readAuto(spark, dir)))
+  }
 }

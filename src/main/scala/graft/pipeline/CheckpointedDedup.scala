@@ -33,13 +33,18 @@ final class CheckpointedDedup(
   /** Stages that executed (not resumed) in the last `run` call. */
   var computedStages: List[String] = Nil
 
-  def run(transcripts: DataFrame): DataFrame = {
+  /** @param docsBuilder optional replacement for the docs stage body —
+    *   callers whose input layout has a cheaper correct reconstruction
+    *   (BucketedCorpus.readDocs streams docs off the bucket sort) inject
+    *   it here; output must be identical to buildDocs (DocsSortedSpec). */
+  def run(transcripts: DataFrame,
+          docsBuilder: Option[() => DataFrame] = None): DataFrame = {
     val spark = transcripts.sparkSession
     computedStages = Nil
 
     val docs = stage(spark, "docs", keyCols = Seq("conv_id"),
       rowsInOf = () => transcripts.count()) { () =>
-      DedupPipeline.buildDocs(transcripts)
+      docsBuilder.map(_.apply()).getOrElse(DedupPipeline.buildDocs(transcripts))
     }
     val sigs = stage(spark, "signatures", keyCols = Seq("conv_id"),
       rowsInOf = () => docs.count()) { () =>

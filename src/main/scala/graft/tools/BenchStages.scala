@@ -52,13 +52,18 @@ object BenchStages {
       println(f"[stage] $label%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($n rows)")
     }
 
-    val df = spark.read.parquet(corpusDir)
+    // the production read path: bucketed dirs stream docs off the bucket
+    // sort (readDocs), scattered dirs groupBy-shuffle — same as the e2e
+    // legs (an earlier revision read plain parquet here, which made the
+    // docs stage look shuffle-bound when the real legs pay no exchange)
+    val df = graft.pipeline.BucketedCorpus.readAuto(spark, corpusDir)
     df.count() // warm IO
     // JIT warmup
     DedupPipeline.run(df.where(col("conv_id") <= "conv-000200"), cfg).count()
 
     val t0 = System.nanoTime()
-    val docs = DedupPipeline.buildDocs(df).persist(StorageLevel.MEMORY_AND_DISK)
+    val docs = graft.pipeline.BucketedCorpus.readDocs(spark, corpusDir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     time("docs")(docs.count())
     // mirror run(): persist ONLY the minhash projection — caching the
     // shingle arrays (~8x the text) spills at 1M docs and pollutes every

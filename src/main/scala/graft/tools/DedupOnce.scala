@@ -94,6 +94,13 @@ object DedupOnce {
     val df = graft.pipeline.BucketedCorpus.readAuto(spark, corpusDir)
     df.count() // warm page cache
     DedupPipeline.run(df.where(col("conv_id") <= "conv-000200"), cfg).count() // JIT
+    // docs path picked by layout: streaming one-pass reconstruction over
+    // the bucket sort when the layout guarantees hold, else the
+    // exchange-planned groupBy (identical output either way — DocsSortedSpec)
+    DedupPipeline.runWithDocs(
+      graft.pipeline.BucketedCorpus.readDocs(spark, corpusDir,
+        where = Some(col("conv_id") <= "conv-000200")),
+      df.select(col("conv_id")), cfg).count() // JIT the streaming path too
     val metrics = TaskMetricsAgg.maybeInstall(spark)
     val best = (1 to repeats).map { r =>
       // drop cached stage outputs: each repeat must do the full pipeline
@@ -101,7 +108,9 @@ object DedupOnce {
       spark.sharedState.cacheManager.clearCache()
       metrics.foreach(_.reset())
       val t0 = System.nanoTime()
-      DedupPipeline.run(df, cfg).count()
+      DedupPipeline.runWithDocs(
+        graft.pipeline.BucketedCorpus.readDocs(spark, corpusDir),
+        df.select(col("conv_id")), cfg).count()
       val sec = (System.nanoTime() - t0) / 1e9
       metrics.foreach { m =>
         Thread.sleep(1500) // listener events drain asynchronously; settle
