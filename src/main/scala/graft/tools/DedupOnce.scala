@@ -100,7 +100,8 @@ object DedupOnce {
     DedupPipeline.runWithDocs(
       graft.pipeline.BucketedCorpus.readDocs(spark, corpusDir,
         where = Some(col("conv_id") <= "conv-000200")),
-      df.select(col("conv_id")), cfg).count() // JIT the streaming path too
+      df.where(col("conv_id") <= "conv-000200")
+        .select(col("conv_id")), cfg).count() // JIT the streaming path too
     val metrics = TaskMetricsAgg.maybeInstall(spark)
     val best = (1 to repeats).map { r =>
       // drop cached stage outputs: each repeat must do the full pipeline
