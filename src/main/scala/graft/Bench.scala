@@ -292,9 +292,7 @@ object Bench {
                     ceilKey: String = "kernel_ceiling_2_8"): String = {
       // primary bracket = first clean one, else the least-disagreeing
       val primary = bs.find(_.clean).getOrElse(bs.minBy(_.disagree))
-      val votingB = { val c = bs.filter(_.clean); if (c.nonEmpty) c else bs }
-      val effs = votingB.map(_.eff).sorted
-      val eff = effs(effs.length / 2)
+      val eff = medianEff(bs)
       val (rLo, rHi) = primary.effRange
       extraKeys +
       f""""sec_low":${primary.t2}%.3f,"sec_high_before":${primary.t8b}%.3f,""" +
@@ -314,10 +312,16 @@ object Bench {
       f""""membw_gbps_2":$membw2%.1f,""" +
       s""""protocol":"${bs.flatMap(_.protos).distinct.mkString("+")}""""
     }
+    // even-count median averages the two middles (the index form picked
+    // the UPPER one — with exactly 2 samples that silently reported max)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
     def medianEff(bs: Seq[Bracket]): Double = {
       val votingB = { val c = bs.filter(_.clean); if (c.nonEmpty) c else bs }
-      val effs = votingB.map(_.eff).sorted
-      effs(effs.length / 2)
+      median(votingB.map(_.eff))
     }
 
     // --- the 8→32 in-process pair machinery (diagnostic; runs LATER) ------
@@ -350,10 +354,13 @@ object Bench {
       rounds += Pair(tl, th, pl, ph, ceil, wH.stealShare, wL.stealShare)
     }
     // steal-gated consensus: pairs whose legs ran under measured
-    // hypervisor interference don't vote when >= 2 clean pairs exist
+    // hypervisor interference don't vote when ANY clean pair exists —
+    // same rule as the bracket blocks (r05b: a steal-0.058 pair reading
+    // 0.775 outvoted the clean 0.56 pair under the old >= 2 rule; dirty
+    // readings are excluded whichever DIRECTION they err in)
     def cleanRounds: Seq[Pair] = {
       val clean = rounds.filter(r => r.maxSteal >= 0 && r.maxSteal <= StealGate).toSeq
-      if (clean.size >= 2) clean else rounds.toSeq
+      if (clean.nonEmpty) clean else rounds.toSeq
     }
     def midSpread(): Double = {
       val rs = cleanRounds.map(_.ratio).sorted
@@ -383,9 +390,9 @@ object Bench {
         val secLow = rounds.map(_.tl).min
         val secHigh = rounds.map(_.th).min
         val ratios = voting.map(_.ratio).sorted
-        val eff = ratios(ratios.length / 2)
+        val eff = median(ratios)
         val ceilings = voting.map(_.ceil).filter(_ > 0).sorted
-        val kernelCeiling = if (ceilings.nonEmpty) ceilings(ceilings.length / 2) else -1.0
+        val kernelCeiling = if (ceilings.nonEmpty) median(ceilings) else -1.0
         val ceilingSpread =
           if (ceilings.nonEmpty) ceilings.last - ceilings.head else -1.0
         // eff-vs-ceiling computed WITHIN each pair (ratio and probe sampled
@@ -394,7 +401,7 @@ object Bench {
         // quotient is the stable form of the comparison
         val pairedVsCeil = voting.filter(_.ceil > 0).map(r => r.ratio / r.ceil).sorted
         val effVsCeil =
-          if (pairedVsCeil.nonEmpty) pairedVsCeil(pairedVsCeil.length / 2)
+          if (pairedVsCeil.nonEmpty) median(pairedVsCeil)
           else if (kernelCeiling > 0) eff / kernelCeiling
           else -1.0
         head +
@@ -546,12 +553,19 @@ object Bench {
         try graft.tools.CpuScale.probe4to16() catch { case _: Throwable => -1.0 },
         Seq("local-cluster"), elapsedSec - w0)
     }
-    // cost estimate from the measured in-process bracket (same corpus and
-    // widths; executor launch + netty add ~15-25%) — r4's 5.5·secLow guess
-    // undercounted and the block got skipped (ADVICE r4)
+    // cost estimate built from the in-process bracket's LEG times, not its
+    // wall: the exec bracket runs 4 short-leg executions (2× best-of-2 8x2,
+    // each ≈ 1.1× the in-process 8-core leg) + one 2x2 leg (4 total cores,
+    // ≈ 0.6× the 2-core leg) + probe/launch overhead. r4's 5.5·secLow guess
+    // undercounted (ADVICE r4); the r5 wall·1.3 form then OVERcounted in
+    // slow windows (the bracket wall inherits the 2-core leg's weather
+    // wholesale — r05b: est 1430 s vs a ~970 s block, protocol leg skipped
+    // with 1370 s still in budget)
     val execEst =
-      if (pair28Brackets.nonEmpty) pair28Brackets.map(_.wall).min * 1.3
-      else 8.0 * 60.0
+      if (pair28Brackets.nonEmpty) {
+        val b = pair28Brackets.minBy(_.t8m)
+        4.4 * math.min(b.t8b, b.t8c) + 0.6 * b.t2 + 150.0
+      } else 8.0 * 60.0
     if (sys.env.getOrElse("SPARK_GRAFT_PAIR_EXEC", "1") == "1" &&
         fits("pair_exec_2_8", execEst)) {
       val execBrackets = scala.collection.mutable.ArrayBuffer.empty[Bracket]
