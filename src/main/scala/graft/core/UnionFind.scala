@@ -31,4 +31,22 @@ final class UnionFind[T](implicit ord: Ordering[T]) {
 
   /** member → representative (min id of its component). */
   def assignments(): Map[T, T] = parent.keys.map(k => k -> find(k)).toMap
+
+  /** Non-identity assignments as a flat array (member, root) with
+    * member != root. Roots and never-seen singletons are omitted — a
+    * left-join + coalesce(root, id) downstream resolves them to
+    * themselves, so carrying the identity rows through parallelize →
+    * broadcast was pure width-invariant overhead (the driver-UF tail is
+    * serial at every cluster size). Array + iterator, no intermediate
+    * immutable Map. */
+  def nonIdentityAssignments(): Array[(T, T)] = {
+    val out = new scala.collection.mutable.ArrayBuffer[(T, T)](parent.size)
+    val it = parent.keysIterator
+    while (it.hasNext) {
+      val k = it.next()
+      val r = find(k)
+      if (r != k) out += ((k, r))
+    }
+    out.toArray
+  }
 }

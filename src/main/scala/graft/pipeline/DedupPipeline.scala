@@ -829,7 +829,11 @@ object DedupPipeline {
       import spark.implicits._
       val uf = new UnionFind[String]()
       prof("collect+union") {
-        edges1.collect().foreach { r =>
+        // coalesce before collect: narrow over the cached partitions, so
+        // the collect job launches ~32 tasks instead of one per shuffle
+        // partition (256 near-empty result fetches were measurable fixed
+        // cost on a stage that is serial everywhere else)
+        edges1.coalesce(32).collect().foreach { r =>
           uf.union(r.getString(0), r.getString(1))
         }
       }
@@ -839,10 +843,14 @@ object DedupPipeline {
       // (not toDF): the driver-side Catalyst row conversion of ~2·edges
       // tuples was the NEXT single-threaded tail (measured 1.55 s of the
       // 2.2 s stage at 395k edges) — parallelize ships raw string pairs
-      // and runs the conversion executor-side, 32-way
+      // and runs the conversion executor-side, 32-way. Non-identity rows
+      // only: the left-join's coalesce already maps absent nodes to
+      // themselves, so root/singleton identity entries (~40% of the map
+      // at 357k edges) were dead broadcast weight.
       val asg = prof("assignments toDF")(
         spark.sparkContext
-          .parallelize(uf.assignments().toSeq, 32)
+          .parallelize(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            uf.nonIdentityAssignments()), 32)
           .toDF("conv_id", "root"))
       // broadcast the assignment map when it is certainly small (≤ 500k
       // edges ⇒ ≤ 1M entries, tens of MB) — skips shuffling allNodes;
@@ -910,7 +918,7 @@ object DedupPipeline {
           it.foreach { case p @ (a, b) =>
             if (n < cap) { uf.union(a, b); n += 1 } else overflow += p
           }
-          uf.assignments().iterator.filter { case (m, r) => m != r } ++
+          uf.nonIdentityAssignments().iterator ++
             overflow.iterator
         }
         .toDF("u", "v")
