@@ -236,12 +236,11 @@ object Bench {
             val df = pipeline.BucketedCorpus.readAuto(s, corpusDir)
             df.count()
             DedupPipeline.run(df.where(org.apache.spark.sql.functions.col("conv_id") <= "conv-000200"), cfg).count()
-            val rawIds = df.select(org.apache.spark.sql.functions.col("conv_id"))
             val best = (1 to repeats).map { _ =>
               s.sharedState.cacheManager.clearCache()
               // same pipeline shape as DedupOnce: layout-aware docs path
               timed { DedupPipeline.runWithDocs(
-                pipeline.BucketedCorpus.readDocs(s, corpusDir), rawIds, cfg).count() }
+                pipeline.BucketedCorpus.readDocs(s, corpusDir), cfg).count() }
             }.min
             (best, "fallback-inprocess")
           } finally s.stop()

@@ -1090,16 +1090,12 @@ object DedupPipeline {
 
   /** Full pipeline: transcripts → cluster_assignments(conv_id, cluster_id). */
   def run(transcripts: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame =
-    runWithDocs(buildDocs(transcripts), transcripts.select(col("conv_id")), cfg)
+    runWithDocs(buildDocs(transcripts), cfg)
 
   /** Full pipeline over pre-reconstructed docs (conv_id, doc, n_turns,
     * doc_len) — the entry for layouts with their own reconstruction path
-    * (BucketedCorpus.readDocs streams docs off the bucket sort). `rawIds`
-    * is the conv_id column off the cheapest available scan: the
-    * id-uniqueness probe below deliberately does NOT touch `docs` (an
-    * action on it would materialize the cache as its own serialized job —
-    * measured +15-20% on the 32-core leg; see comment at the probe). */
-  def runWithDocs(docs0: DataFrame, rawIds: DataFrame,
+    * (BucketedCorpus.readDocs streams docs off the bucket sort). */
+  def runWithDocs(docs0: DataFrame,
                   cfg: DedupConfig = DedupConfig()): DataFrame = {
     // docs/sigs feed multiple downstream joins — persist so the signature
     // computation runs once, not once per consumer (the checkpointed
@@ -1112,28 +1108,35 @@ object DedupPipeline {
       docs.withColumn("sig",
           graft.functions.text_signature(col("doc"), cfg.shingleK, cfg.numHashes, cfg.seed))
         .select(col("id"), col("sig.minhash").as("minhash")))
-    // id uniqueness guard. Deliberately reads the RAW conv_id column off
-    // the scan, NOT the docs frame: an action on `docs` here would
-    // materialize the docs cache as its own serialized job (cache write +
-    // immediate re-read of the full corpus — measured +15-20% on the
-    // 32-core leg, where memory traffic is the scarce resource), whereas
-    // the column-pruned scan-side check costs one small shuffle and lets
-    // docs + signatures materialize fused in the first real action.
-    val u = rawIds.distinct()
-      .agg(count(lit(1)), count_distinct(xxhash64(col("conv_id")))).head()
     // measurement escape hatch: force the string path for A/B runs
     val forceString = sys.env.contains("SPARK_GRAFT_STRING_PATH")
-    val verified =
-      if (!forceString && u.getLong(0) == u.getLong(1)) {
-        verifyPairsById(candidatePairsById(bandsById(sigs, cfg), cfg), docs, cfg)
-      } else {
-        // xxhash64 collision (probability ~n²/2^65): identical semantics on
-        // string keys; candidate order (xxhash64(conv_id), conv_id) is the
-        // order the id path refines
-        val sigsStr = trackPersist(signatures(docs, cfg)
-          .select(col("conv_id"), col("minhash")))
-        verifyPairs(candidatePairs(bands(sigsStr, cfg), cfg), docs, cfg)
-      }
-    connectedComponents(verified, docs.select(col("conv_id")))
+    // xxhash64 collision (probability ~n²/2^65): identical semantics on
+    // string keys; candidate order (xxhash64(conv_id), conv_id) is the
+    // order the id path refines
+    def stringPath(): DataFrame = {
+      val sigsStr = trackPersist(signatures(docs, cfg)
+        .select(col("conv_id"), col("minhash")))
+      connectedComponents(
+        verifyPairs(candidatePairs(bands(sigsStr, cfg), cfg), docs, cfg),
+        docs.select(col("conv_id")))
+    }
+    if (forceString) stringPath()
+    else {
+      val assigned = connectedComponents(
+        verifyPairsById(candidatePairsById(bandsById(sigs, cfg), cfg), docs, cfg),
+        docs.select(col("conv_id")))
+      // xxhash64-injectivity audit, POST-HOC off the docs cache (one row
+      // per conversation). connectedComponents materializes the edge set
+      // internally, so by this point docs is cached and the agg is a
+      // ~0.1 s cache read. The former EAGER probe (rawIds.distinct + agg
+      // before the main DAG) was a whole extra column-pruned corpus scan
+      // plus a distinct shuffle — at 10^12 turns a full extra pass over
+      // the conv_id column, and a width-invariant ~1-3 s on every bench
+      // leg (ProbeCost: 3.2/2.9 s cold at 8/32 cores). Optimism is safe:
+      // on the ~2^-45 collision the id-keyed work is discarded unseen and
+      // the string-keyed pipeline recomputes identical semantics.
+      val u = docs.agg(count(lit(1)), count_distinct(col("id"))).head()
+      if (u.getLong(0) == u.getLong(1)) assigned else stringPath()
+    }
   }
 }

@@ -100,8 +100,7 @@ object DedupOnce {
     DedupPipeline.runWithDocs(
       graft.pipeline.BucketedCorpus.readDocs(spark, corpusDir,
         where = Some(col("conv_id") <= "conv-000200")),
-      df.where(col("conv_id") <= "conv-000200")
-        .select(col("conv_id")), cfg).count() // JIT the streaming path too
+      cfg).count() // JIT the streaming path too
     val metrics = TaskMetricsAgg.maybeInstall(spark)
     val best = (1 to repeats).map { r =>
       // drop cached stage outputs: each repeat must do the full pipeline
@@ -110,8 +109,7 @@ object DedupOnce {
       metrics.foreach(_.reset())
       val t0 = System.nanoTime()
       DedupPipeline.runWithDocs(
-        graft.pipeline.BucketedCorpus.readDocs(spark, corpusDir),
-        df.select(col("conv_id")), cfg).count()
+        graft.pipeline.BucketedCorpus.readDocs(spark, corpusDir), cfg).count()
       val sec = (System.nanoTime() - t0) / 1e9
       metrics.foreach { m =>
         Thread.sleep(1500) // listener events drain asynchronously; settle

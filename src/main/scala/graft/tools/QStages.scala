@@ -17,6 +17,10 @@ object QStages {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "256"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (w <- warm) graft.SparkEntry.queries(w)(spark, dir).count()

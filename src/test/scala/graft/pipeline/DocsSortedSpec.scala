@@ -95,8 +95,7 @@ class DocsSortedSpec extends AnyFunSuite {
     val viaRun = DedupPipeline.run(tdf, cfg).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     val viaDocs = DedupPipeline.runWithDocs(
-        BucketedCorpus.readDocs(spark, dir),
-        BucketedCorpus.readAuto(spark, dir).select(col("conv_id")), cfg)
+        BucketedCorpus.readDocs(spark, dir), cfg)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(viaRun === viaDocs)
   }
