@@ -1016,7 +1016,7 @@ object DedupPipeline {
   // refines, producing the identical edge set when ids are unique.
 
   /** P5, id form: bands(id, band_key). Same band keys as `bands`. */
-  private[pipeline] def bandsById(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+  private[graft] def bandsById(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     val r = cfg.rowsPerBand
     val keys = transform(
       sequence(lit(0), lit(cfg.bands - 1)),
@@ -1027,7 +1027,7 @@ object DedupPipeline {
   /** P6, id form: chain+star per band bucket ordered by id — the same
     * total order as the public path (id IS xxhash64(conv_id)), minus the
     * string payload in the window sort. Returns (a, b) ids, a < b. */
-  private[pipeline] def candidatePairsById(bands: DataFrame, cfg: DedupConfig): DataFrame = {
+  private[graft] def candidatePairsById(bands: DataFrame, cfg: DedupConfig): DataFrame = {
     def chainStar(df: DataFrame, parts: Seq[String]): DataFrame = {
       val pcols = parts.map(col)
       val w = Window.partitionBy(pcols: _*).orderBy(col("id"))
@@ -1062,7 +1062,7 @@ object DedupPipeline {
     * (id, conv_id, doc). Output schema and orientation (a < b
     * lexicographically by conv_id) match `verifyPairs` exactly — the
     * strings re-enter via the doc join, not a separate mapping. */
-  private[pipeline] def verifyPairsById(candPairs: DataFrame, docsWithId: DataFrame,
+  private[graft] def verifyPairsById(candPairs: DataFrame, docsWithId: DataFrame,
                                         cfg: DedupConfig): DataFrame = {
     val parts = candPairs.sparkSession.sessionState.conf.numShufflePartitions
     val spread = trackPersist(candPairs.repartition(parts, col("a")))

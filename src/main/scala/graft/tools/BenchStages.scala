@@ -7,7 +7,10 @@ import graft.core.DedupConfig
 import graft.pipeline.DedupPipeline
 
 /** Per-stage wall-clock breakdown of the dedup pipeline at one core count.
-  *   sbt "runMain graft.tools.BenchStages <cores> <corpusDir>"
+  *   sbt "runMain graft.tools.BenchStages <cores> <corpusDir> [parts] [aqe] [path]"
+  * `path` = "id" (default — the production path run() takes when
+  * xxhash64(conv_id) is injective: long-keyed banding/candidates/verify)
+  * or "string" (the collision-fallback path).
   */
 object BenchStages {
   def main(args: Array[String]): Unit = {
@@ -15,6 +18,7 @@ object BenchStages {
     val corpusDir = args(1)
     val parts = if (args.length > 2) args(2) else "64"
     val aqe = if (args.length > 3) args(3) else "true"
+    val idPath = if (args.length > 4) args(4) != "string" else true
     val spark = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", aqe)
@@ -62,25 +66,49 @@ object BenchStages {
     DedupPipeline.run(df.where(col("conv_id") <= "conv-000200"), cfg).count()
 
     val t0 = System.nanoTime()
-    val docs = graft.pipeline.BucketedCorpus.readDocs(spark, corpusDir)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    time("docs")(docs.count())
-    // mirror run(): persist ONLY the minhash projection — caching the
-    // shingle arrays (~8x the text) spills at 1M docs and pollutes every
-    // downstream stage measurement
-    val sigs = DedupPipeline.signatures(docs, cfg)
-      .select(col("conv_id"), col("minhash"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    time("signatures")(sigs.count())
-    val bands = DedupPipeline.bands(sigs, cfg)
-    val cand = DedupPipeline.candidatePairs(bands, cfg)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    time("bands+candidates")(cand.count())
-    val verified = DedupPipeline.verifyPairs(cand, docs, cfg)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    time("verify")(verified.count())
-    time("cc+assign")(DedupPipeline.connectedComponents(
-      verified, docs.select(col("conv_id"))).count())
+    if (idPath) {
+      // mirrors runWithDocs' happy path exactly: docs carry the xxhash64
+      // id, only (id, minhash) is persisted, banding/candidates/verify
+      // run long-keyed
+      val docs = graft.pipeline.BucketedCorpus.readDocs(spark, corpusDir)
+        .withColumn("id", xxhash64(col("conv_id")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      time("docs")(docs.count())
+      val sigs = docs.withColumn("sig",
+          graft.functions.text_signature(col("doc"), cfg.shingleK, cfg.numHashes, cfg.seed))
+        .select(col("id"), col("sig.minhash").as("minhash"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      time("signatures")(sigs.count())
+      val cand = DedupPipeline.candidatePairsById(
+          DedupPipeline.bandsById(sigs, cfg), cfg)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      time("bands+candidates")(cand.count())
+      val verified = DedupPipeline.verifyPairsById(cand, docs, cfg)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      time("verify")(verified.count())
+      time("cc+assign")(DedupPipeline.connectedComponents(
+        verified, docs.select(col("conv_id"))).count())
+    } else {
+      val docs = graft.pipeline.BucketedCorpus.readDocs(spark, corpusDir)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      time("docs")(docs.count())
+      // mirror run(): persist ONLY the minhash projection — caching the
+      // shingle arrays (~8x the text) spills at 1M docs and pollutes every
+      // downstream stage measurement
+      val sigs = DedupPipeline.signatures(docs, cfg)
+        .select(col("conv_id"), col("minhash"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      time("signatures")(sigs.count())
+      val bands = DedupPipeline.bands(sigs, cfg)
+      val cand = DedupPipeline.candidatePairs(bands, cfg)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      time("bands+candidates")(cand.count())
+      val verified = DedupPipeline.verifyPairs(cand, docs, cfg)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      time("verify")(verified.count())
+      time("cc+assign")(DedupPipeline.connectedComponents(
+        verified, docs.select(col("conv_id"))).count())
+    }
     println(f"[stage] TOTAL              ${(System.nanoTime() - t0) / 1e9}%7.2f s")
     spark.stop()
   }
