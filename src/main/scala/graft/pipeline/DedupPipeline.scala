@@ -1103,11 +1103,19 @@ object DedupPipeline {
     val docs = trackPersist(docs0
       .withColumn("id", xxhash64(col("conv_id"))))
     // banding needs only the minhash; dropping the shingle arrays (~16x
-    // the minhash size) from the persisted footprint keeps the cache hot
-    val sigs = trackPersist(
-      docs.withColumn("sig",
-          graft.functions.text_signature(col("doc"), cfg.shingleK, cfg.numHashes, cfg.seed))
-        .select(col("id"), col("sig.minhash").as("minhash")))
+    // the minhash size) from the persisted footprint keeps the cache hot.
+    // Persist ONLY when the salted path consumes bands twice (within +
+    // across-minima): at bandSalt=1 (default) sigs has exactly one
+    // consumer, and caching it costs a ~1 GB columnar write PLUS a
+    // per-row array decode on re-read that is the pipeline's
+    // worst-scaling stage (BandProbe: the cached-minhash scan+explode
+    // runs 51 core-s at 8 threads but 190 at 32 — eff 0.27, pure memory
+    // stall). Unpersisted, text_signature fuses straight into the band
+    // explode + exchange in one codegen pass over the docs cache.
+    val sigs0 = docs.withColumn("sig",
+        graft.functions.text_signature(col("doc"), cfg.shingleK, cfg.numHashes, cfg.seed))
+      .select(col("id"), col("sig.minhash").as("minhash"))
+    val sigs = if (cfg.bandSalt > 1) trackPersist(sigs0) else sigs0
     // measurement escape hatch: force the string path for A/B runs
     val forceString = sys.env.contains("SPARK_GRAFT_STRING_PATH")
     // xxhash64 collision (probability ~n²/2^65): identical semantics on

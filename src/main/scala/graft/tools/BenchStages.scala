@@ -29,19 +29,32 @@ object BenchStages {
     // per-stage task skew report
     if (sys.env.contains("SPARK_GRAFT_STAGE_METRICS")) {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        // per-stage: task durations + cpu/gc sums, to tell memory stalls
+        // (run up, cpu up, gc flat) from GC churn (gc up) from scheduling
+        // (run up, cpu flat)
         private val durations = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+        private val cpuNs = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
+        private val gcMs = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
         override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           durations.computeIfAbsent(te.stageId, _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
             .add(te.taskInfo.duration)
+          val m = te.taskMetrics
+          if (m != null) {
+            cpuNs.computeIfAbsent(te.stageId, _ => new java.util.concurrent.atomic.LongAdder).add(m.executorCpuTime)
+            gcMs.computeIfAbsent(te.stageId, _ => new java.util.concurrent.atomic.LongAdder).add(m.jvmGCTime)
+          }
         }
         override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val q = durations.remove(sc.stageInfo.stageId)
+          val cpu = Option(cpuNs.remove(sc.stageInfo.stageId)).map(_.sum / 1e9).getOrElse(0.0)
+          val gc = Option(gcMs.remove(sc.stageInfo.stageId)).map(_.sum / 1e3).getOrElse(0.0)
           if (q != null) {
             val ds = q.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
             if (ds.nonEmpty && ds.sum > 500) {
               val med = ds(ds.length / 2)
               println(f"[tasks] stage=${sc.stageInfo.stageId}%4d n=${ds.length}%4d " +
-                f"sum=${ds.sum / 1000.0}%7.1fs max=${ds.last / 1000.0}%6.2fs med=${med / 1000.0}%6.2fs " +
+                f"sum=${ds.sum / 1000.0}%7.1fs cpu=$cpu%7.1fs gc=$gc%5.1fs " +
+                f"max=${ds.last / 1000.0}%6.2fs med=${med / 1000.0}%6.2fs " +
                 sc.stageInfo.name.take(60))
             }
           }
