@@ -81,8 +81,9 @@ object BenchStages {
     val t0 = System.nanoTime()
     if (idPath) {
       // mirrors runWithDocs' happy path exactly: docs carry the xxhash64
-      // id, only (id, minhash) is persisted, banding/candidates/verify
-      // run long-keyed
+      // id, sigs are UNPERSISTED at bandSalt=1 (text_signature fuses into
+      // the band explode — the cached-minhash decode was the worst-scaling
+      // stage, see BandProbe), banding/candidates/verify run long-keyed
       val docs = graft.pipeline.BucketedCorpus.readDocs(spark, corpusDir)
         .withColumn("id", xxhash64(col("conv_id")))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -90,12 +91,10 @@ object BenchStages {
       val sigs = docs.withColumn("sig",
           graft.functions.text_signature(col("doc"), cfg.shingleK, cfg.numHashes, cfg.seed))
         .select(col("id"), col("sig.minhash").as("minhash"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      time("signatures")(sigs.count())
       val cand = DedupPipeline.candidatePairsById(
           DedupPipeline.bandsById(sigs, cfg), cfg)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      time("bands+candidates")(cand.count())
+      time("sigs+bands+cand")(cand.count())
       val verified = DedupPipeline.verifyPairsById(cand, docs, cfg)
         .persist(StorageLevel.MEMORY_AND_DISK)
       time("verify")(verified.count())
