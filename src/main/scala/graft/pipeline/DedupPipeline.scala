@@ -48,6 +48,11 @@ object DedupPipeline {
     new java.util.concurrent.ConcurrentHashMap[SparkSession,
       java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
 
+  /** Verify-stage candidate-docs persist (VerifyProbe winner, r5);
+    * SPARK_GRAFT_VERIFY_DPERSIST=0 re-selects the inline loser per JVM. */
+  private def dPersist: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_VERIFY_DPERSIST", "1") != "0"
+
   private def trackPersist(df: DataFrame): DataFrame = {
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     trackedPersists
@@ -451,8 +456,12 @@ object DedupPipeline {
     val candIds = spread.select(col("a").as("conv_id"))
       .unionByName(spread.select(col("b").as("conv_id")))
       .distinct()
-    val d = docs.select(col("conv_id"), col("doc"))
+    // persisted for the same reason as the id path (verifyPairsById): both
+    // side joins consume d, and recomputing it re-scans the full docs
+    // cache twice (VerifyProbe A/B — see verifyPairsById).
+    val d0 = docs.select(col("conv_id"), col("doc"))
       .join(candIds, Seq("conv_id"), "left_semi")
+    val d = if (dPersist) trackPersist(d0) else d0
 
     spread
       .join(d.select(col("conv_id").as("a"), col("doc").as("doc_a")), Seq("a"))
@@ -1069,8 +1078,23 @@ object DedupPipeline {
     val candIds = spread.select(col("a").as("id"))
       .unionByName(spread.select(col("b").as("id")))
       .distinct()
-    val d = docsWithId.select(col("id"), col("conv_id"), col("doc"))
+    // d (the candidate-doc subset) is consumed by BOTH side joins below.
+    // Unpersisted, each join re-scans the FULL docs cache through its own
+    // semi-join build — at 32 threads that cached-text decode inflates
+    // ~5x in core-seconds (the same memory-stall pathology BandProbe found
+    // on the cached-minhash scan). Persisting d scans docs ONCE and feeds
+    // both joins from the (smaller, candidates-only) cache: VerifyProbe
+    // interleaved warm legs at 32 cores 8.9–13.6 s vs 12.6–24.1 s inline —
+    // wins every pair (1.35–2.7x) AND removes the bandwidth-weather
+    // variance of the double full-cache scan; ~wash at 8 cores (the scan
+    // isn't stalled there), so the gain lands on 8→32 efficiency. At 10^12
+    // turns candidates are a tiny fraction of the corpus, so the extra
+    // cache is small while the avoided second full-corpus pass dominates.
+    // SPARK_GRAFT_VERIFY_DPERSIST=0 re-selects the inline plan per JVM for
+    // future same-sitting A/Bs.
+    val d0 = docsWithId.select(col("id"), col("conv_id"), col("doc"))
       .join(candIds, Seq("id"), "left_semi")
+    val d = if (dPersist) trackPersist(d0) else d0
     spread
       .join(d.select(col("id").as("a"), col("conv_id").as("ca"), col("doc").as("doc_a")), Seq("a"))
       .join(d.select(col("id").as("b"), col("conv_id").as("cb"), col("doc").as("doc_b")), Seq("b"))
