@@ -485,9 +485,14 @@ object Bench {
       // ("queries_retimed") and the min is reported.
       val RetimeCeilingSec =
         sys.env.getOrElse("SPARK_GRAFT_RETIME_CEILING_SEC", "15.0").toDouble
+      // at most the 3 worst offenders re-run: if MORE than that exceed the
+      // ceiling the window is systemically bad and re-running everything
+      // would both lie (same weather) and threaten the wall-clock budget
+      val retimeSet = results.filter(_._2 > RetimeCeilingSec)
+        .sortBy(-_._2).take(3).map(_._1).toSet
       val retimed = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
       val finalResults = results.map { case (name, sec) =>
-        if (sec <= RetimeCeilingSec) name -> sec
+        if (!retimeSet.contains(name)) name -> sec
         else {
           val fn = SparkEntry.queries(name)
           val sec2 = try timed { fn(spark, sfDir).count() } catch { case _: Throwable => sec }
