@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked JVM's stdout/stderr raw instead of sbt's
+// "[info] "/"[error] "-prefixed log lines: the bench/verify contract is a
+// bare machine-parseable JSON line on stdout, and the prefix breaks a
+// strict per-line json parse downstream.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

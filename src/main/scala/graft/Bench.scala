@@ -4,13 +4,14 @@ import org.apache.spark.sql.SparkSession
 import graft.core.DedupConfig
 import graft.pipeline.{DedupPipeline, Transcripts}
 
-/** Benchmark main. Prints ONE JSON line
+/** Benchmark main. Prints ONE COMPACT JSON line on stdout
   *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
-  *    "dedup":{...turns/sec at local[N/4] and local[N], scaling efficiency,
-  *             "protocol":"child-jvm"|"fallback-inprocess"}}
-  * and ALSO writes the same line to BENCH/result.json — the stdout line
-  * rides under sbt's [info] prefix, which has broken downstream parsing
-  * before; the file is the reliable channel.
+  *    "dedup":{headline turns/sec + scaling efficiencies,
+  *             "detail":"BENCH/result.json"}}
+  * sized to fit entirely inside the driver's ~2000-char stdout-tail window
+  * (rounds 1–4 printed the full ~3.5 KB line and the driver recorded
+  * `parsed: null` every time). The COMPLETE diagnostics line goes to
+  * BENCH/result.json (rewritten after every block) and to stderr.
   *
   * The dedup block is the BENCH/BASELINE.md scaling protocol: identical job +
   * identical input at two parallelism levels (stand-in for N vs 4N
@@ -425,6 +426,10 @@ object Bench {
     var queriesJson = "{}"
     var queriesRetimedJson = "{}"
     var queriesTotal = 0.0
+    // headline protocol efficiencies, mirrored out of extraBlocks for the
+    // compact stdout line (the full JSON fragments stay in result.json)
+    var eff28 = -1.0
+    var effExec = -1.0
     def currentLine(): String = {
       val skip = skipped.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
       val protos = rounds.flatMap(r => Seq(r.pl, r.ph)).distinct
@@ -437,6 +442,30 @@ object Bench {
         if (queriesRetimedJson == "{}") ""
         else s""""queries_retimed":$queriesRetimedJson,"""
       f"""{"metric":"total","value":$queriesTotal%.3f,"unit":"sec","queries":$queriesJson,$retimedField"sf":"$sfDir","dedup":$dedup}"""
+    }
+    // The driver captures only the last ~2000 chars of stdout and tries to
+    // parse a JSON line out of them; the full line above is ~3.5 KB, so in
+    // rounds 1–4 the driver recorded `parsed: null` every time. The stdout
+    // line is therefore a COMPACT summary (headline numbers only, well
+    // under the window even with the sbt epilogue after it); the complete
+    // diagnostics keep flowing to BENCH/result.json via flush().
+    def compactLine(): String = {
+      val (tpsLow, tpsHigh, eff, effVsCeil) =
+        if (rounds.isEmpty) (-1.0, -1.0, -1.0, -1.0)
+        else {
+          val voting = cleanRounds
+          val ratios = voting.map(_.ratio).sorted
+          val pairedVsCeil =
+            voting.filter(_.ceil > 0).map(r => r.ratio / r.ceil).sorted
+          (nTurns / rounds.map(_.tl).min, nTurns / rounds.map(_.th).min,
+            median(ratios),
+            if (pairedVsCeil.nonEmpty) median(pairedVsCeil) else -1.0)
+        }
+      val skip = skipped.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val retimedField =
+        if (queriesRetimedJson == "{}") ""
+        else s""""queries_retimed":$queriesRetimedJson,"""
+      f"""{"metric":"total","value":$queriesTotal%.3f,"unit":"sec","queries":$queriesJson,$retimedField"sf":"$sfDir","dedup":{"n_convs":$nConvs,"n_turns":$nTurns,"cores_low":$lowCores,"cores_high":$cpus,"turns_per_sec_low":$tpsLow%.1f,"turns_per_sec_high":$tpsHigh%.1f,"scaling_efficiency":$eff%.3f,"efficiency_vs_ceiling":$effVsCeil%.3f,"scaling_efficiency_2_8":$eff28%.3f,"scaling_efficiency_exec_2_8":$effExec%.3f,"bench_elapsed_sec":$elapsedSec%.1f,"bench_skipped":$skip,"detail":"BENCH/result.json"}}"""
     }
     // reliable channel: the driver's stdout parse has failed before
     // (sbt [info] prefix) — persist the line where it can be read back
@@ -544,8 +573,9 @@ object Bench {
         fits("pair_2_8_resample",
           pair28Brackets.map(_.wall).max * 1.1 + budgetSec * 0.35))
         pair28Brackets += bracket28()
+      eff28 = medianEff(pair28Brackets.toSeq)
       extraBlocks +=
-        f""","scaling_efficiency_2_8":${medianEff(pair28Brackets.toSeq)}%.3f""" +
+        f""","scaling_efficiency_2_8":$eff28%.3f""" +
         s""","pair_2_8":{"cores_low":2,"cores_high":8,""" +
         bracketJson(pair28Brackets.toSeq, membw2, "") + "}"
       flush()
@@ -622,8 +652,9 @@ object Bench {
         // (local-cluster) at the widths where the box has 4x independent
         // capacity — surfaced as its own top-level reading next to the
         // 8->32 in-process-thread protocol
+        effExec = medianEff(execBrackets.toSeq)
         extraBlocks +=
-          f""","scaling_efficiency_exec_2_8":${medianEff(execBrackets.toSeq)}%.3f""" +
+          f""","scaling_efficiency_exec_2_8":$effExec%.3f""" +
           s""","pair_exec_2_8":{"execs_low":2,"execs_high":8,"cores_per_exec":2,""" +
           s""""exec_mem_mb":${sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192")},""" +
           bracketJson(execBrackets.toSeq, -1.0, "", ceilKey = "kernel_ceiling_4_16") + "}"
@@ -692,6 +723,9 @@ object Bench {
       fits("extra_pairs", pairCostEst)) runPair()
     flush()
 
-    println(currentLine())
+    // full line to stderr for human logs; COMPACT line last on stdout so
+    // the driver's 2000-char tail window contains one complete JSON line
+    System.err.println(currentLine())
+    println(compactLine())
   }
 }

@@ -26,7 +26,7 @@ object QStages {
     for (w <- warm) graft.SparkEntry.queries(w)(spark, dir).count()
 
     @volatile var record = false
-    val jobT0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val jobT0 = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
     val stages = new java.util.concurrent.ConcurrentHashMap[Int,
       java.util.concurrent.ConcurrentLinkedQueue[Long]]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
