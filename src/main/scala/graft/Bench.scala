@@ -473,6 +473,12 @@ object Bench {
       val out = new java.io.File("BENCH")
       out.mkdirs()
       java.nio.file.Files.writeString(out.toPath.resolve("result.json"), currentLine() + "\n")
+      // Progressive stdout emission: a runner that hard-kills a slow
+      // (bad-weather) run mid-block still has the latest COMPLETE compact
+      // line at the end of its stdout-tail window (a cut-off earlier line
+      // doesn't json-parse, so tail scanners land on the last whole one).
+      println(compactLine())
+      Console.out.flush()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH/result.json: $e")
     }
