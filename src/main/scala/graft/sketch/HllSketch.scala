@@ -367,7 +367,7 @@ final class HllSketch private (
         bb.put(((tgtType << 2) | 0).toByte) // modeByte: curMode LIST
         coupons.foreach(bb.putInt)
         bb.array()
-      } else if (lgK > 7) {
+      } else if (lgK > 7 && 4 * coupons.length <= 3 * (1 << (lgK - 3))) {
         if (compact) {
           val bb = ByteBuffer.allocate(12 + 4 * coupons.length).order(ByteOrder.LITTLE_ENDIAN)
           bb.put(3.toByte)  // preInts (SET)
@@ -411,8 +411,15 @@ final class HllSketch private (
           bb.array()
         }
       } else {
-        // lgK ≤ 7 with an over-LIST coupon count: no legal sparse image —
-        // densify a copy (upstream LIST→HLL promotion) and emit HLL mode
+        // No legal sparse image: lgK ≤ 7 with an over-LIST coupon count
+        // (upstream promotes LIST→HLL directly), OR a coupon count beyond
+        // the reference SET capacity 3/4·2^(lgK−3) (its hash set promotes
+        // to HLL instead of growing past lgArr = lgK−3,
+        // coupon_hash_set.go:113-125). Our sparse phase holds up to k/4
+        // coupons — twice that capacity — so mid-size sketches DO land
+        // here; emitting SET anyway would be an image no upstream
+        // lifecycle produces (and the updatable open-addressing insert
+        // above would spin on a full array). Densify a copy and emit HLL.
         val dense = copy()
         dense.promote()
         dense.toDataSketchesImage(tgtType, compact)
