@@ -93,10 +93,13 @@ final class FreqSketch[T] private (
   }
 
   /** Merge: replay other's active counters; offsets add; stream weight is
-    * the sum (frequencies/longs_sketch.go:451-466 semantics). */
+    * the sum (frequencies/longs_sketch.go:451-466 semantics). The reference
+    * accepts ANY other sketch — map sizes need not match; self's
+    * lgMaxMapSize governs purging, exactly as its UpdateMany replay does.
+    * The merged a-priori error bound is offset-carried (ε·W of each input
+    * adds through the offsets), so a small-map sketch merged into a large
+    * one keeps its looser contribution visible in lowerBound/upperBound. */
   def merge(other: FreqSketch[T]): FreqSketch[T] = {
-    require(other.lgMaxMapSize == lgMaxMapSize,
-      s"FreqSketch lgMaxMapSize mismatch: $lgMaxMapSize vs ${other.lgMaxMapSize}")
     if (other.isEmpty) return this
     val incomingWeight = other._streamWeight
     other.counts.foreach { case (item, c) =>

@@ -57,6 +57,14 @@ final class KllItemsSketch[T] private (
     private var level0Sorted: Boolean)(implicit ops: KllItemOps[T]) extends Serializable {
 
   import KllSketch.{levelCapacity, totalCapacity}
+
+  /** Smallest k absorbed through merges (items_sketch.go:42,664) — governs
+    * the a-priori rank-error contract after mixed-k merges. */
+  private var _minK: Int = k
+  def minK: Int = _minK
+  private[sketch] def setMinK(v: Int): Unit =
+    _minK = math.min(math.max(KllSketch.M, v), k)
+
   @inline private def lt(a: T, b: T): Boolean = ops.ordering.lt(a, b)
   @inline private def lteq(a: T, b: T): Boolean = ops.ordering.lteq(a, b)
 
@@ -230,13 +238,15 @@ final class KllItemsSketch[T] private (
   }
 
   def normalizedRankError(pmf: Boolean): Double =
-    if (pmf) 2.446 / math.pow(k, 0.9433) else 2.296 / math.pow(k, 0.9723)
+    if (pmf) 2.446 / math.pow(_minK, 0.9433) else 2.296 / math.pow(_minK, 0.9723)
 
   // ---- merge ----------------------------------------------------------------
 
   def merge(other: KllItemsSketch[T]): KllItemsSketch[T] = {
-    require(other.k == k, s"KLL k mismatch: $k vs ${other.k}")
+    // mixed-k merges are legal (reference Merge accepts any other sketch);
+    // minK records the weakest input's error contract (items_sketch.go:664)
     if (other.isEmpty) return this
+    _minK = math.min(_minK, other.minK)
     if (isEmpty) { _minItem = other._minItem; _maxItem = other._maxItem }
     else {
       if (lt(other._minItem.get, _minItem.get)) _minItem = other._minItem
@@ -326,7 +336,7 @@ final class KllItemsSketch[T] private (
     bb.put(2.toByte) // flags: level zero sorted (sortLevel0 above)
     bb.putShort(k.toShort); bb.put(M.toByte); bb.put(0.toByte)
     bb.putLong(_n)
-    bb.putShort(k.toShort) // minK (merges require equal k here)
+    bb.putShort(_minK.toShort) // minK (items_sketch.go:388,396)
     bb.put(numLevels.toByte); bb.put(0.toByte)
     // ABSOLUTE offsets into a totalCapacity-sized right-justified array —
     // the reference reader derives retained = capacity - levels[0]
@@ -353,7 +363,8 @@ final class KllItemsSketch[T] private (
       8 + 2 + 2 + 4 + 8 + minMaxBytes + 4 * (numLevels + 1) + itemBytes)
       .order(ByteOrder.LITTLE_ENDIAN)
     bb.put(HllSketch.Magic); bb.put(2.toByte); bb.put(KllSketch.FamilyKll)
-    bb.put(if (isEmpty) 1.toByte else 0.toByte); bb.putInt(0)
+    // formerly-unused preamble slot now carries minK (0 in old images ⇒ k)
+    bb.put(if (isEmpty) 1.toByte else 0.toByte); bb.putInt(_minK)
     bb.putShort(k.toShort)
     bb.putShort(numLevels.toShort)
     bb.putInt(retained)
@@ -374,7 +385,7 @@ object KllItemsSketch {
     require(bb.get() == 2, "bad serVer (items sketch is serVer 2)")
     require(bb.get() == KllSketch.FamilyKll, "bad family")
     val empty = bb.get() == 1
-    bb.getInt()
+    val minKRaw = bb.getInt()
     val k = bb.getShort().toInt & 0xffff
     val numLevels = bb.getShort().toInt
     val retained = bb.getInt()
@@ -394,7 +405,9 @@ object KllItemsSketch {
     val levels = rel.map(_ + shift)
     var i = 0
     while (i < retained) { items(shift + i) = ops.read(bb); i += 1 }
-    new KllItemsSketch[T](k, items, levels, numLevels, n, minI, maxI, false)(ops)
+    val sk = new KllItemsSketch[T](k, items, levels, numLevels, n, minI, maxI, false)(ops)
+    sk.setMinK(if (minKRaw > 0) minKRaw else k)
+    sk
   }
 
   /** Import a reference-format KLL string image (cross-language read path)
@@ -415,6 +428,7 @@ object KllItemsSketch {
     donor._n = img.n
     donor._minItem = img.minItem
     donor._maxItem = img.maxItem
+    donor.setMinK(img.minK)
     donor
   }
 }

@@ -32,6 +32,13 @@ final class KllSketch private (
 
   import KllSketch._
 
+  /** Smallest k this sketch has absorbed through merges — the reference
+    * tracks it (items_sketch.go:42,664) because the a-priori rank-error
+    * contract after a mixed-k merge is governed by the weakest input. */
+  private var _minK: Int = k
+  def minK: Int = _minK
+  private[sketch] def setMinK(v: Int): Unit = _minK = math.min(math.max(M, v), k)
+
   def this(k: Int) = {
     this(k, new Array[Double](math.max(KllSketch.M, k)),
       Array(math.max(KllSketch.M, k), math.max(KllSketch.M, k)), 1, 0L,
@@ -248,15 +255,21 @@ final class KllSketch private (
     out
   }
 
-  /** Closed-form normalized rank error (kll/utils.go:137-142). */
+  /** Closed-form normalized rank error (kll/utils.go:137-142) — computed
+    * from minK like the reference (items_sketch.go:289-290), so the bound
+    * stays honest after absorbing a lower-k sketch. */
   def normalizedRankError(pmf: Boolean): Double =
-    if (pmf) 2.446 / math.pow(k, 0.9433) else 2.296 / math.pow(k, 0.9723)
+    if (pmf) 2.446 / math.pow(_minK, 0.9433) else 2.296 / math.pow(_minK, 0.9723)
 
   // ---- merge ---------------------------------------------------------------
 
   def merge(other: KllSketch): KllSketch = {
-    require(other.k == k, s"KLL k mismatch: $k vs ${other.k}")
+    // mixed-k merges are legal (reference Merge accepts any other sketch);
+    // the weighted re-insertion below is k-agnostic — self's capacities
+    // govern compaction — and minK records the weakest input's contract
+    // (items_sketch.go:664)
     if (other.isEmpty) return this
+    _minK = math.min(_minK, other.minK)
     if (isEmpty) { _minItem = other._minItem; _maxItem = other._maxItem }
     else {
       if (other._minItem < _minItem) _minItem = other._minItem
@@ -348,7 +361,7 @@ final class KllSketch private (
     bb.put(2.toByte) // flags: level zero sorted (we just sorted it)
     bb.putShort(k.toShort); bb.put(M.toByte); bb.put(0.toByte)
     bb.putLong(_n)
-    bb.putShort(k.toShort) // minK (equal-k merges only, so minK == k)
+    bb.putShort(_minK.toShort) // minK (items_sketch.go:388,396)
     bb.put(numLevels.toByte); bb.put(0.toByte)
     // offsets are ABSOLUTE into a totalCapacity-sized right-justified
     // array: the reference reader derives retained = capacity - levels[0]
@@ -370,7 +383,8 @@ final class KllSketch private (
     val bb = ByteBuffer.allocate(8 + 2 + 2 + 4 + 8 + 8 + 8 + 4 * (numLevels + 1) + 8 * retained)
       .order(ByteOrder.LITTLE_ENDIAN)
     bb.put(HllSketch.Magic); bb.put(1.toByte); bb.put(FamilyKll)
-    bb.put(0.toByte); bb.putInt(0)
+    // formerly-unused preamble slot now carries minK (0 in old images ⇒ k)
+    bb.put(0.toByte); bb.putInt(_minK)
     bb.putShort(k.toShort)
     bb.putShort(numLevels.toShort)
     bb.putInt(retained)
@@ -438,7 +452,8 @@ object KllSketch {
     require(bb.get() == HllSketch.Magic, "bad magic")
     require(bb.get() == 1, "bad serVer")
     require(bb.get() == FamilyKll, "bad family")
-    bb.get(); bb.getInt()
+    bb.get()
+    val minKRaw = bb.getInt()
     val k = bb.getShort().toInt & 0xffff
     val numLevels = bb.getShort().toInt
     val retained = bb.getInt()
@@ -455,6 +470,7 @@ object KllSketch {
     var i = 0
     while (i < retained) { items(shift + i) = bb.getDouble(); i += 1 }
     val sk = new KllSketch(k, items, levels, numLevels, n, minI, maxI, false)
+    sk.setMinK(if (minKRaw > 0) minKRaw else k)
     sk
   }
 

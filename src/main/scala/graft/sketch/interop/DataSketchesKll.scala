@@ -178,9 +178,12 @@ object DataSketchesKll {
       }
 
     /** Exact state transfer into the engine sketch (no replay). */
-    def toEngine: graft.sketch.KllSketch =
-      graft.sketch.KllSketch.fromParts(k, n, numLevels, levels,
+    def toEngine: graft.sketch.KllSketch = {
+      val sk = graft.sketch.KllSketch.fromParts(k, n, numLevels, levels,
         minItem, maxItem, items, level0Sorted)
+      sk.setMinK(minK)
+      sk
+    }
   }
 
   private def f64(b: Array[Byte], i: Int): Double =

@@ -111,4 +111,82 @@ class SerdeSweepSpec extends AnyFunSuite {
       check(FreqSketch.fromCsvString(s.toCsvString()), "csv-rt")
     }
   }
+
+  test("HLL union sweep: mixed lgK and mixed modes stay inside merged-RSE bounds and round-trip") {
+    // the union path crosses every mode pair (sparse+sparse, sparse+dense,
+    // dense+sparse, dense+dense) and the lgK-mismatch downsampling branch
+    for ((lgA, lgB) <- Seq((12, 12), (12, 10), (10, 14), (21, 4));
+         (nA, nB) <- Seq((5L, 7L), (20L, 40000L), (30000L, 12L), (25000L, 50000L))) {
+      val a = new HllSketch(lgA); val b = new HllSketch(lgB)
+      var i = 0L
+      while (i < nA) { a.update(i); i += 1 }
+      i = 0L
+      // 50% overlap with a's stream
+      while (i < nB) { b.update(i + nA / 2); i += 1 }
+      // distinct of [0,nA) ∪ [nA/2, nA/2+nB): b starts inside a, so the
+      // union is one contiguous range
+      val trueN = math.max(nA, nA / 2 + nB)
+      val m = a.merge(b)
+      val lgM = math.min(lgA, lgB)
+      // merged / out-of-order RSE at the smaller lgK (hll/utils.go:51-54)
+      val rse = 1.0390 / math.sqrt((1L << lgM).toDouble)
+      assert(math.abs(m.estimate - trueN) / trueN < math.max(4 * rse, 0.15),
+        s"lgA=$lgA lgB=$lgB nA=$nA nB=$nB est=${m.estimate} true=$trueN")
+      val rt = HllSketch.deserialize(m.serialize())
+      assert(rt.estimate === m.estimate, "merged sketch round-trip")
+    }
+  }
+
+  test("KLL merge sweep: mixed k and sizes keep the larger-eps rank contract") {
+    for ((kA, kB) <- Seq((200, 200), (200, 64), (64, 400));
+         (nA, nB) <- Seq((1000, 1000), (50000, 17), (0, 5000))) {
+      val rnd = new java.util.Random(kA + kB + nA + nB)
+      val xsA = Array.fill(nA)(rnd.nextDouble())
+      val xsB = Array.fill(nB)(rnd.nextDouble())
+      val a = new KllSketch(kA); xsA.foreach(a.update)
+      val b = new KllSketch(kB); xsB.foreach(b.update)
+      val m = a.merge(b)
+      assert(m.n === (nA + nB).toLong)
+      val all = (xsA ++ xsB).sorted
+      val eps = 2.0 * math.max(new KllSketch(kA).normalizedRankError(false),
+        new KllSketch(kB).normalizedRankError(false))
+      for (q <- Seq(0.1, 0.5, 0.9)) {
+        val v = m.quantile(q)
+        var lo = 0; while (lo < all.length && all(lo) <= v) lo += 1
+        assert(math.abs(lo.toDouble / all.length - q) <= eps + 1.0 / all.length,
+          s"kA=$kA kB=$kB nA=$nA nB=$nB q=$q")
+      }
+      // serde stability through a merge
+      val rt = KllSketch.deserialize(m.serialize())
+      assert(java.util.Arrays.equals(
+        rt.quantiles(Array(0.0, 0.25, 0.5, 0.75, 1.0)),
+        m.quantiles(Array(0.0, 0.25, 0.5, 0.75, 1.0))))
+    }
+  }
+
+  test("Frequencies merge accepts mismatched map sizes (reference Merge semantics)") {
+    // longs_sketch.go:451-466 replays ANY other sketch through UpdateMany —
+    // no size-equality requirement; self's capacity governs purging.
+    for ((lgA, lgB) <- Seq((3, 10), (10, 3), (6, 6))) {
+      val rnd = new java.util.Random(lgA * 100 + lgB)
+      val a = new FreqSketch[Long](lgA)
+      val b = new FreqSketch[Long](lgB)
+      val truth = scala.collection.mutable.HashMap.empty[Long, Long]
+      for (_ <- 0 until 5000) {
+        val (sk, item) =
+          if (rnd.nextBoolean()) (a, rnd.nextInt(400).toLong)
+          else (b, rnd.nextInt(400).toLong + 200L)
+        val w = 1L + rnd.nextInt(3)
+        sk.update(item, w)
+        truth(item) = truth.getOrElse(item, 0L) + w
+      }
+      val wantWeight = a.streamWeight + b.streamWeight
+      val m = a.merge(b)
+      assert(m.streamWeight === wantWeight, s"($lgA,$lgB) streamWeight")
+      for ((item, t) <- truth) {
+        assert(m.lowerBound(item) <= t, s"($lgA,$lgB) lb($item) > true $t")
+        assert(t <= m.upperBound(item), s"($lgA,$lgB) ub($item) < true $t")
+      }
+    }
+  }
 }

@@ -176,8 +176,13 @@ class FreqSketchSpec extends AnyFunSuite {
     a.merge(b)
     assert(a.estimate(1L) >= 300L)
     assert(a.streamWeight === 420L)
+    // mismatched map sizes are legal (longs_sketch.go:451-466 replays any
+    // other sketch); weights and counts still accumulate
     val c = new FreqSketch[Long](9)
-    intercept[IllegalArgumentException] { a.merge(c) }
+    c.update(1L, 5)
+    a.merge(c)
+    assert(a.estimate(1L) >= 305L)
+    assert(a.streamWeight === 425L)
   }
 
   test("serialize round-trip longs and strings") {
@@ -321,8 +326,15 @@ class KllSketchSpec extends AnyFunSuite {
       val q = a.quantile(r)
       assert(math.abs(q / 100000.0 - r) < 4 * eps, s"r=$r q=$q")
     }
+    // mixed-k merges are legal; minK drops to the weakest input and the
+    // error contract follows it (items_sketch.go:664, 289-290)
     val c = new KllSketch(100)
-    intercept[IllegalArgumentException] { a.merge(c) }
+    c.update(42.0)
+    val epsBefore = a.normalizedRankError(pmf = false)
+    a.merge(c)
+    assert(a.n === 100001)
+    assert(a.minK === 100)
+    assert(a.normalizedRankError(pmf = false) > epsBefore)
   }
 
   test("deterministic: same stream → same serialized image") {
