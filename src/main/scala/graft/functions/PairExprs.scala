@@ -154,7 +154,12 @@ object PairVerify {
         keyLen = d.numBytes; k = kk; seed = sd
       }
       if (probe) {
-        if (transient0) set = new graft.core.LongHashSet(need) // transient; pset stays bounded
+        // transient: start modest and let add() grow by doubling to the
+        // ACTUAL distinct-shingle count — sizing by numBytes up front would
+        // allocate a 2-4x-numBytes table plus a numBytes elems array
+        // (~25-40 bytes per doc byte) for an outlier doc whose distinct
+        // count is typically far smaller; pset stays bounded either way
+        if (transient0) set = new graft.core.LongHashSet(1 << 16)
         else { set = pset; set.reset(need) }
         graft.core.Shingles.shinglesIntoSet(
           d.getBaseObject, d.getBaseOffset, d.numBytes, kk, sd, set)

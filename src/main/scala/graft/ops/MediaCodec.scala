@@ -63,12 +63,25 @@ object MediaCodec {
     Some(Header("png", w, h, 1, 0))
   }
 
+  /** Decoded-pixel budget: IHDR dimensions arrive from untrusted bytes, so
+    * every buffer size is computed in Long and capped here BEFORE any
+    * allocation — a hostile 3×2^29 header must return None, not throw
+    * NegativeArraySizeException (int overflow) or attempt a multi-GB
+    * allocation. 256 MB covers any thumbnail/feature-extract input this
+    * layer is scoped for. */
+  val MaxDecodedBytes: Long = 1L << 28
+
   /** Full PNG pixel decode for the 8-bit formats (gray / RGB / RGBA):
     * concatenate IDAT, inflate, reverse per-scanline filters 0–4.
     * Returns (width, height, bytesPerPixel, pixels row-major). */
   def pngDecodePixels(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
-    val hdr = decodeHeader(p) match {
-      case Some(h) if h.format == "png" => h
+    // cheap sniff first: a non-PNG payload (e.g. a GIF, whose header parse
+    // is a full block walk) must cost 8 byte compares here, not a
+    // decodeHeader pass it immediately discards
+    if (p == null || p.length < 8 + 8 + 13 + 4 ||
+        !PngSig.indices.forall(i => p(i) == PngSig(i))) return None
+    val hdr = pngHeader(p) match {
+      case Some(h) => h
       case _ => return None
     }
     try {
@@ -78,6 +91,14 @@ object MediaCodec {
       val bpp = colorType match {
         case 0 => 1 case 2 => 3 case 6 => 4 case _ => return None
       }
+      // compression 0 (deflate) and filter method 0 are the only defined
+      // values; interlace 1 (Adam7) lays scanlines out in 7 passes — the
+      // sequential unfilter below would decode plausible garbage, so it is
+      // rejected, not misread
+      if ((p(26) & 0xff) != 0 || (p(27) & 0xff) != 0 || (p(28) & 0xff) != 0) return None
+      // raw = h filtered scanlines of (stride + 1) bytes — the largest buffer
+      if (hdr.height.toLong * (hdr.width.toLong * bpp + 1) > MaxDecodedBytes)
+        return None
       // walk chunks, concatenating IDAT
       val idat = new java.io.ByteArrayOutputStream()
       var o = 8
@@ -178,28 +199,36 @@ object MediaCodec {
     out.toByteArray
   }
 
-  /** Real nearest-neighbor PNG resize: decode pixels, resample, re-encode. */
+  /** Real nearest-neighbor PNG resize: decode pixels, resample, re-encode.
+    * None for malformed input OR a target exceeding [[MaxDecodedBytes]]
+    * (a huge `scale` must not int-overflow into a negative allocation). */
   def pngResizeNearest(p: Array[Byte], scale: Double): Option[Array[Byte]] =
-    pngDecodePixels(p).map { case (w, h, bpp, px) =>
-      val nw = math.max(1, (w * scale).toInt)
-      val nh = math.max(1, (h * scale).toInt)
-      val out = new Array[Byte](nw * nh * bpp)
-      var y = 0
-      while (y < nh) {
-        val sy = math.min(h - 1, (y.toLong * h / nh).toInt)
-        var x = 0
-        while (x < nw) {
-          val sx = math.min(w - 1, (x.toLong * w / nw).toInt)
-          var c = 0
-          while (c < bpp) {
-            out((y * nw + x) * bpp + c) = px((sy * w + sx) * bpp + c)
-            c += 1
+    pngDecodePixels(p).flatMap { case (w, h, bpp, px) =>
+      // clamp BEFORE toLong: a huge scale saturates toLong at Long.MaxValue
+      // and the nwL * nhL * bpp product below would wrap past the guard
+      val nwL = math.max(1L, math.min(w * scale, 1e9).toLong)
+      val nhL = math.max(1L, math.min(h * scale, 1e9).toLong)
+      if (!java.lang.Double.isFinite(scale) || nwL * nhL * bpp > MaxDecodedBytes) None
+      else {
+        val nw = nwL.toInt; val nh = nhL.toInt
+        val out = new Array[Byte](nw * nh * bpp)
+        var y = 0
+        while (y < nh) {
+          val sy = math.min(h - 1, (y.toLong * h / nh).toInt)
+          var x = 0
+          while (x < nw) {
+            val sx = math.min(w - 1, (x.toLong * w / nw).toInt)
+            var c = 0
+            while (c < bpp) {
+              out((y * nw + x) * bpp + c) = px((sy * w + sx) * bpp + c)
+              c += 1
+            }
+            x += 1
           }
-          x += 1
+          y += 1
         }
-        y += 1
+        Some(pngEncode(nw, nh, bpp, out))
       }
-      pngEncode(nw, nh, bpp, out)
     }
 
   // ---- JPEG ---------------------------------------------------------------

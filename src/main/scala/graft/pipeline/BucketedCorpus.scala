@@ -124,9 +124,37 @@ object BucketedCorpus {
       case Some("stream") => true
       case _ => isBucketed(dir) && singleFilePerBucket(dir)
     }
-    if (streaming)
-      graft.pipeline.DedupPipeline.buildDocsSorted(filtered(read(spark, dir)))
-    else
+    if (streaming) {
+      // The streaming reconstruction is only correct when each task reads
+      // WHOLE bucket files. A bare projection carries no distribution
+      // requirement, so Spark's DisableUnnecessaryBucketedScan rule
+      // (autoBucketedScan, on by default) re-plans the bucketed table as a
+      // regular file scan — which SPLITS multi-row-group files at
+      // maxPartitionBytes boundaries. A conversation straddling a
+      // row-group boundary would then emit two partial docs, each still
+      // internally sorted, so buildDocsSorted's in-task monotonicity
+      // assert CANNOT catch it (measured: tools/BucketScanProbe — the
+      // projection plans bucketedScan=false and splits; invisible at test
+      // scale only because small files hold one row group). Disable the
+      // rule for the planning window (buildDocsSorted resolves its RDD
+      // eagerly) and verify on the executed plan; if the scan still is
+      // not bucket-aligned, fall back to the always-correct groupBy.
+      val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      try {
+        val projected = filtered(read(spark, dir))
+          .select(col("conv_id"), col("turn_idx"), col("ts"), col("text"))
+        val aligned = projected.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s.bucketedScan
+        }.forall(identity)
+        if (aligned) graft.pipeline.DedupPipeline.buildDocsSorted(projected)
+        else graft.pipeline.DedupPipeline.buildDocs(filtered(readAuto(spark, dir)))
+      } finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    } else
       graft.pipeline.DedupPipeline.buildDocs(filtered(readAuto(spark, dir)))
   }
 }

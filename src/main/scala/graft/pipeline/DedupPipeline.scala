@@ -99,7 +99,7 @@ object DedupPipeline {
 
   private val docsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("conv_id",
-      org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StringType, nullable = true), // null is a legal group key
     org.apache.spark.sql.types.StructField("doc",
       org.apache.spark.sql.types.StringType, nullable = false),
     org.apache.spark.sql.types.StructField("n_turns",
@@ -132,11 +132,41 @@ object DedupPipeline {
     * which engages this path only when the layout guarantees hold. */
   def buildDocsSorted(transcripts: DataFrame): DataFrame = {
     val spark = transcripts.sparkSession
-    val rdd = transcripts
-      .select(col("conv_id"), col("turn_idx"), col("ts"), col("text"))
+    val projected =
+      transcripts.select(col("conv_id"), col("turn_idx"), col("ts"), col("text"))
+    // Loud guard against the one layout violation the per-row monotonicity
+    // assert CANNOT catch: a direct file scan whose partitions are byte
+    // ranges rather than whole bucket files (Spark splits multi-row-group
+    // files at maxPartitionBytes when the scan is not bucket-aligned) — a
+    // conversation straddling a split emits two partial docs, each still
+    // sorted. A plan WITH an exchange re-establishes its own partitioning
+    // (the caller's repartition + sortWithinPartitions contract, exercised
+    // by the specs), so only the direct-scan shape is rejected. Production
+    // callers go through BucketedCorpus.readDocs, which pins
+    // bucketedScan=true before calling here.
+    val plan = projected.queryExecution.executedPlan
+    val unalignedScans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec if !s.bucketedScan => s
+    }
+    val repartitioned = plan.exists {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
+      case _: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => true
+      case _ => false
+    }
+    require(unalignedScans.isEmpty || repartitioned,
+      "buildDocsSorted: input is a direct file scan without bucket-aligned " +
+        "partitions (bucketedScan=false) — file splitting would silently " +
+        "break conversations across tasks; use BucketedCorpus.readDocs, or " +
+        "repartition+sortWithinPartitions by (conv_id, turn_idx) explicitly")
+    val rdd = projected
       .rdd.mapPartitions { it =>
         new Iterator[org.apache.spark.sql.Row] {
           private val sb = new java.lang.StringBuilder(1 << 14)
+          // `started` (not cur == null) marks the no-open-conversation
+          // state: a null conv_id is a legal GROUP BY key in buildDocs, so
+          // the stream path must emit it as its own group too, not silently
+          // graft its turns onto the next conversation
+          private var started = false
           private var cur: String = null
           private var nTurns = 0
           private var anyText = false          // concat_ws skips null elems
@@ -201,9 +231,10 @@ object DedupPipeline {
               val id = r.getString(0)
               val idx: Integer =
                 if (r.isNullAt(1)) null else Integer.valueOf(r.getInt(1))
+              val sameConv = started && java.util.Objects.equals(id, cur)
               val out =
-                if (cur != null && id != cur) { pending = emit(); true } else false
-              if (cur == null || id != cur) cur = id
+                if (started && !sameConv) { pending = emit(); true } else false
+              if (!sameConv) { cur = id; started = true }
               if (idxSeen && !java.util.Objects.equals(idx, lastIdx)) {
                 // null turn_idx sorts first (struct-field NullsFirst), so a
                 // null AFTER a non-null — or any decrease — is a violation
@@ -218,7 +249,7 @@ object DedupPipeline {
               if (out) return true
             }
             done = true
-            if (cur != null) { pending = emit(); cur = null; return true }
+            if (started) { pending = emit(); started = false; return true }
             false
           }
           override def next(): org.apache.spark.sql.Row = {

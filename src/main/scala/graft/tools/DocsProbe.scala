@@ -28,6 +28,9 @@ object DocsProbe {
       .config("spark.sql.shuffle.partitions", "256")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      // the production stream path plans with bucket-aligned scans
+      // (BucketedCorpus.readDocs pins this); measure the same plan
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -144,4 +144,47 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(MediaCodec.decodeHeader(Array[Byte](1, 2, 3)).isEmpty)
     assert(MediaCodec.decodeHeader(Array.fill[Byte](64)(0x42)).isEmpty)
   }
+
+  /** Patch an IHDR field in a real PNG and re-sign the chunk CRC so the
+    * payload reaches the dimension/flag guards instead of the CRC check. */
+  private def patchIhdr(png: Array[Byte], off: Int, bytes: Array[Byte]): Array[Byte] = {
+    val p = png.clone()
+    System.arraycopy(bytes, 0, p, off, bytes.length)
+    val crc = new CRC32; crc.update(p, 12, 4 + 13)
+    ByteBuffer.wrap(p, 8 + 8 + 13, 4).putInt(crc.getValue.toInt)
+    p
+  }
+
+  test("PNG: hostile IHDR dimensions are rejected, never a negative/huge allocation") {
+    val png = MediaCodec.pngEncode(3, 2, 3, pixels(3, 2, 3))
+    // h = 2^29 with w = 3, bpp 3: h * (stride + 1) int-overflows negative —
+    // the pre-allocation Long guard must return None, not throw
+    val hugeH = patchIhdr(png, 20, ByteBuffer.allocate(4).putInt(1 << 29).array())
+    assert(MediaCodec.decodeHeader(hugeH).exists(_.height === (1 << 29))) // header itself parses
+    assert(MediaCodec.pngDecodePixels(hugeH).isEmpty)
+    // non-overflowing but over-budget (20000 x 20000 RGB ≈ 1.2 GB)
+    val bigWh = patchIhdr(patchIhdr(png, 16,
+      ByteBuffer.allocate(4).putInt(20000).array()), 20,
+      ByteBuffer.allocate(4).putInt(20000).array())
+    assert(MediaCodec.pngDecodePixels(bigWh).isEmpty)
+  }
+
+  test("PNG: interlaced / nonzero compression / filter-method rejected, not misdecoded") {
+    val png = MediaCodec.pngEncode(5, 4, 3, pixels(5, 4, 3))
+    for (off <- Seq(26, 27, 28)) { // compression, filter method, interlace
+      val bad = patchIhdr(png, off, Array[Byte](1))
+      assert(MediaCodec.decodeHeader(bad).exists(_.format === "png"))
+      assert(MediaCodec.pngDecodePixels(bad).isEmpty, s"IHDR byte $off = 1 must not decode")
+    }
+  }
+
+  test("PNG: resize with hostile scale returns None instead of overflowing") {
+    val png = MediaCodec.pngEncode(8, 8, 3, pixels(8, 8, 3))
+    assert(MediaCodec.pngResizeNearest(png, 1e18).isEmpty)
+    assert(MediaCodec.pngResizeNearest(png, Double.PositiveInfinity).isEmpty)
+    assert(MediaCodec.pngResizeNearest(png, Double.NaN).isEmpty)
+    // sane scales still work
+    assert(MediaCodec.pngResizeNearest(png, 0.5).flatMap(MediaCodec.decodeHeader)
+      .exists(h => h.width === 4 && h.height === 4))
+  }
 }

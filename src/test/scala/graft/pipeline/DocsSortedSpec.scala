@@ -72,6 +72,48 @@ class DocsSortedSpec extends AnyFunSuite {
     assert(m("c5")._3 === "emoji X done".length.toLong) // 12 code points
   }
 
+  test("null conv_id is its own group, not grafted onto the next conversation") {
+    import spark.implicits._
+    def ts(ms: Long) = new Timestamp(ms)
+    val rows = Seq(
+      (null.asInstanceOf[String], 0, "user", "null-a", "t", ts(1000L)),
+      (null.asInstanceOf[String], 1, "user", "null-b", "t", ts(2000L)),
+      ("c1", 0, "user", "c1-a", "t", ts(1000L)),
+      ("c1", 1, "user", "c1-b", "t", ts(2000L)),
+      ("c2", 0, "user", "c2-solo", "t", ts(1000L)))
+    val tdf = rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs-null").toString
+    BucketedCorpus.write(tdf, dir, buckets = 2)
+    val streamed = BucketedCorpus.readDocs(spark, dir)
+    assert(!streamed.queryExecution.executedPlan.toString.contains("Aggregate"))
+    assertIdentical(streamed, DedupPipeline.buildDocs(tdf))
+    val m = docsMap(streamed)
+    assert(m(null) === (("null-a\nnull-b", 2, 13L)))
+    assert(m("c1") === (("c1-a\nc1-b", 2, 9L)))
+    assert(m("c2") === (("c2-solo", 1, 7L)))
+  }
+
+  test("direct unaligned file scan is rejected loudly (file-split hazard)") {
+    // reading the bucketed table WITHOUT readDocs' planning window: the bare
+    // projection has no distribution requirement, so Spark plans a regular
+    // (splittable) file scan — a conversation straddling a row-group split
+    // would emit two partial docs, both internally sorted, invisible to the
+    // per-row monotonicity assert. buildDocsSorted must refuse the plan.
+    val turns = Transcripts.generate(100)
+    val tdf = Transcripts.asDataFrame(spark, turns, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs-unaligned").toString
+    BucketedCorpus.write(tdf, dir, buckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      DedupPipeline.buildDocsSorted(BucketedCorpus.read(spark, dir))
+    }
+    assert(e.getMessage.contains("bucket-aligned"))
+    // ...and readDocs over the same dir still takes the streaming path,
+    // with the scan pinned bucket-aligned inside its planning window
+    val streamed = BucketedCorpus.readDocs(spark, dir)
+    assert(!streamed.queryExecution.executedPlan.toString.contains("Aggregate"))
+    assertIdentical(streamed, DedupPipeline.buildDocs(tdf))
+  }
+
   test("unsorted partition fails loudly instead of concatenating out of order") {
     import spark.implicits._
     val bad = Seq(
