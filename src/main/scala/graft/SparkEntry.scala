@@ -328,8 +328,9 @@ object SparkEntry {
     "q18_docs_simhash_neardup" -> ((s, dir) => {
       val cfg = DedupConfig()
       val docs = docsView(s, dir)
-      val sigs = DedupPipeline.signatures(docs, cfg)
-        .select(col("conv_id"), col("simhash"))
+      // simhash-only signature pass (r6): the minhash this query never
+      // reads was ~95% of the kernel; values bit-identical (SignatureSpec)
+      val sigs = DedupPipeline.simhashSignatures(docs, cfg)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val banded = DedupPipeline.simhashNearDupPairs(sigs, maxDist = 3, cfg)
         .select(col("a"), col("b")).withColumn("in_band", lit(1))
@@ -754,11 +755,15 @@ object SparkEntry {
       val plantedFound = adv.hotKeys.exists(_._1 == "HOT")
       val saltBoundsHot =
         adv.recommendedSalt.toLong * cfg.maxBucketSize >= 5000L
-      // real corpus: exact bucket sizes vs the advice's hot list
+      // real corpus: exact bucket sizes vs the advice's hot list.
+      // bands persisted (r6): BOTH the advisor's sketch agg and the exact
+      // bucket-size check below consume it — unpersisted, the signature
+      // kernel (the dominant cost) ran twice
       val docs = docsView(s, dir)
       val bands = DedupPipeline.bands(
         DedupPipeline.signatures(docs, cfg)
           .select(col("conv_id"), col("minhash")), cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val realAdv = SkewTools.recommendSalt(bands, cfg)
       val realHot = realAdv.hotKeys.map(_._1).toSet
       val missedHot = bands.groupBy(col("band_key"))

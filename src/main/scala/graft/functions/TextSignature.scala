@@ -39,6 +39,32 @@ case class TextSignatureExpr(child: Expression, shingleK: Int, numHashes: Int, s
     copy(child = newChild)
 }
 
+/** SimHash-only variant of TextSignatureExpr: same shingle pass and the
+  * SAME SimHash64.fingerprint over it, WITHOUT the 64-affine-hash MinHash
+  * signature — for consumers that read only the simhash field (q18's
+  * banded-vs-brute comparison discarded a full minhash per doc: ~95% of
+  * the signature kernel's multiply-adds are the minhash loop). Values are
+  * bit-identical to text_signature(...).simhash (SignatureSpec pins it). */
+case class SimHash64Expr(child: Expression, shingleK: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    TextSignatureExpr.computeSimhash(input.asInstanceOf[UTF8String], shingleK, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextSignatureExpr.computeSimhash($c, $shingleK, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
 object TextSignatureExpr {
   val schema: StructType = StructType(Seq(
     StructField("shingles", ArrayType(LongType, containsNull = false), nullable = false),
@@ -51,6 +77,11 @@ object TextSignatureExpr {
 
   def hasher(n: Int, seed: Long): MinHasher =
     hashers.computeIfAbsent((n, seed), { case (nn, ss) => new MinHasher(nn, ss) })
+
+  /** Called from generated code — must stay public + static-shaped. */
+  def computeSimhash(s: UTF8String, k: Int, seed: Long): Long =
+    SimHash64.fingerprint(
+      Shingles.shingles(s.getBaseObject, s.getBaseOffset, s.numBytes, k, seed))
 
   /** Called from generated code — must stay public + static-shaped. */
   def compute(s: UTF8String, k: Int, n: Int, seed: Long): InternalRow = {

@@ -16,6 +16,11 @@ package object functions {
   def text_signature(text: Column, shingleK: Int, numHashes: Int, seed: Long): Column =
     c(TextSignatureExpr(e(text), shingleK, numHashes, seed))
 
+  /** SimHash fingerprint only — bit-identical to text_signature(...).simhash
+    * without computing the minhash signature. */
+  def simhash64(text: Column, shingleK: Int, seed: Long): Column =
+    c(SimHash64Expr(e(text), shingleK, seed))
+
   /** Exact Jaccard of two sorted-distinct array<long> columns. */
   def jaccard_sorted(a: Column, b: Column): Column =
     c(JaccardSortedExpr(e(a), e(b)))

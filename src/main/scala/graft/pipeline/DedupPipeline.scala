@@ -158,106 +158,172 @@ object DedupPipeline {
         "partitions (bucketedScan=false) — file splitting would silently " +
         "break conversations across tasks; use BucketedCorpus.readDocs, or " +
         "repartition+sortWithinPartitions by (conv_id, turn_idx) explicitly")
-    val rdd = projected
-      .rdd.mapPartitions { it =>
-        new Iterator[org.apache.spark.sql.Row] {
-          private val sb = new java.lang.StringBuilder(1 << 14)
-          // `started` (not cur == null) marks the no-open-conversation
-          // state: a null conv_id is a legal GROUP BY key in buildDocs, so
-          // the stream path must emit it as its own group too, not silently
-          // graft its turns onto the next conversation
-          private var started = false
-          private var cur: String = null
-          private var nTurns = 0
-          private var anyText = false          // concat_ws skips null elems
-          private var lastIdx: Integer = null
-          private var idxSeen = false
-          // tie run: rows sharing (conv_id, turn_idx), ordered on flush
-          private val run =
-            scala.collection.mutable.ArrayBuffer.empty[(java.sql.Timestamp, String)]
-          private var pending: org.apache.spark.sql.Row = null
-          private var done = false
+    // InternalRow path (r6): the old external-Row form decoded every turn's
+    // text to a java.lang.String, built docs in a StringBuilder, then paid
+    // createDataFrame's Row→InternalRow re-encode of every doc — at 1M
+    // convs the docs stage spent 46 of its 196 core-seconds in GC
+    // (BenchStages r6 baseline). This form reads the scan's UTF8Strings
+    // zero-copy, buffers turn bytes in REUSED scratch arrays (zero per-turn
+    // allocation), and emits InternalRows directly — identical output
+    // (DocsSortedSpec byte-equality incl. ties, nulls, non-BMP lengths).
+    val rdd = projected.queryExecution.toRdd.mapPartitions { it =>
+      new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+        import org.apache.spark.unsafe.Platform
+        import org.apache.spark.unsafe.types.UTF8String
+        // `started` (not cur == null) marks the no-open-conversation
+        // state: a null conv_id is a legal GROUP BY key in buildDocs, so
+        // the stream path must emit it as its own group too, not silently
+        // graft its turns onto the next conversation
+        private var started = false
+        private var cur: UTF8String = null      // cloned (scan rows are reused)
+        private var nTurns = 0
+        private var anyText = false             // concat_ws skips null elems
+        private var lastIdx = 0
+        private var lastIdxNull = false
+        private var idxSeen = false
+        // doc assembly buffer (reused across conversations)
+        private var doc = new Array[Byte](1 << 14)
+        private var docLen = 0
+        // tie run: rows sharing (conv_id, turn_idx), ordered on flush by
+        // (ts NULLS FIRST, text-bytes NULLS FIRST) — buildDocs' array_sort
+        // struct semantics. Turn text bytes are copied into one reused
+        // scratch buffer; parallel arrays carry per-entry offsets/ts.
+        private var scratch = new Array[Byte](1 << 14)
+        private var scratchLen = 0
+        private var runN = 0
+        private var runEnd = new Array[Int](8)   // end offset in scratch
+        private var runNullText = new Array[Boolean](8)
+        private var runTs = new Array[Long](8)
+        private var runTsNull = new Array[Boolean](8)
+        private var pending: org.apache.spark.sql.catalyst.InternalRow = null
+        private var done = false
 
-          private def cmpText(a: String, b: String): Int = {
-            if (a == null || b == null) return java.lang.Boolean.compare(a != null, b != null)
-            val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            val n = math.min(ab.length, bb.length)
-            var i = 0
-            while (i < n) {
-              val d = (ab(i) & 0xff) - (bb(i) & 0xff)
-              if (d != 0) return d
-              i += 1
-            }
-            ab.length - bb.length
-          }
-          private def append(text: String): Unit = {
-            nTurns += 1
-            if (text != null) {
-              if (anyText) sb.append('\n')
-              sb.append(text)
-              anyText = true
-            }
-          }
-          private def flushRun(): Unit = {
-            if (run.length == 1) append(run(0)._2)
-            else if (run.nonEmpty) {
-              val sorted = run.sortWith { (x, y) =>
-                val c =
-                  if (x._1 == null || y._1 == null)
-                    java.lang.Boolean.compare(x._1 != null, y._1 != null)
-                  else x._1.compareTo(y._1)
-                if (c != 0) c < 0 else cmpText(x._2, y._2) < 0
-              }
-              sorted.foreach(r => append(r._2))
-            }
-            run.clear()
-          }
-          private def emit(): org.apache.spark.sql.Row = {
-            flushRun()
-            val doc = sb.toString
-            val r = org.apache.spark.sql.Row(
-              cur, doc, nTurns, doc.codePointCount(0, doc.length).toLong)
-            sb.setLength(0); nTurns = 0; anyText = false
-            lastIdx = null; idxSeen = false
-            r
-          }
+        private def growDoc(need: Int): Unit =
+          if (docLen + need > doc.length)
+            doc = java.util.Arrays.copyOf(doc, math.max(doc.length * 2, docLen + need))
+        private def growScratch(need: Int): Unit =
+          if (scratchLen + need > scratch.length)
+            scratch = java.util.Arrays.copyOf(scratch, math.max(scratch.length * 2, scratchLen + need))
+        private def growRun(): Unit = if (runN == runEnd.length) {
+          runEnd = java.util.Arrays.copyOf(runEnd, runN * 2)
+          runNullText = java.util.Arrays.copyOf(runNullText, runN * 2)
+          runTs = java.util.Arrays.copyOf(runTs, runN * 2)
+          runTsNull = java.util.Arrays.copyOf(runTsNull, runN * 2)
+        }
 
-          override def hasNext: Boolean = {
-            if (pending != null) return true
-            if (done) return false
-            while (it.hasNext) {
-              val r = it.next()
-              val id = r.getString(0)
-              val idx: Integer =
-                if (r.isNullAt(1)) null else Integer.valueOf(r.getInt(1))
-              val sameConv = started && java.util.Objects.equals(id, cur)
-              val out =
-                if (started && !sameConv) { pending = emit(); true } else false
-              if (!sameConv) { cur = id; started = true }
-              if (idxSeen && !java.util.Objects.equals(idx, lastIdx)) {
-                // null turn_idx sorts first (struct-field NullsFirst), so a
-                // null AFTER a non-null — or any decrease — is a violation
-                require(lastIdx == null ||
-                    (idx != null && idx.intValue >= lastIdx.intValue),
-                  s"buildDocsSorted: partition not sorted by (conv_id, turn_idx) " +
-                    s"at conv_id=$id turn_idx=$idx after $lastIdx")
-                flushRun()
-              }
-              lastIdx = idx; idxSeen = true
-              run += ((r.getAs[java.sql.Timestamp](2), r.getString(3)))
-              if (out) return true
-            }
-            done = true
-            if (started) { pending = emit(); started = false; return true }
-            false
+        /** unsigned byte compare of scratch slices [sa,ea) vs [sb,eb) */
+        private def cmpSlice(sa: Int, ea: Int, sb: Int, eb: Int): Int = {
+          val n = math.min(ea - sa, eb - sb)
+          var i = 0
+          while (i < n) {
+            val d = (scratch(sa + i) & 0xff) - (scratch(sb + i) & 0xff)
+            if (d != 0) return d
+            i += 1
           }
-          override def next(): org.apache.spark.sql.Row = {
-            val r = pending; pending = null; r
+          (ea - sa) - (eb - sb)
+        }
+        /** run order: ts nulls first, then ts, then text (nulls first, bytes) */
+        private def runLt(a: Int, b: Int): Boolean = {
+          if (runTsNull(a) != runTsNull(b)) return runTsNull(a)
+          if (!runTsNull(a) && runTs(a) != runTs(b)) return runTs(a) < runTs(b)
+          if (runNullText(a) != runNullText(b)) return runNullText(a)
+          if (runNullText(a)) return false
+          cmpSlice(if (a == 0) 0 else runEnd(a - 1), runEnd(a),
+            if (b == 0) 0 else runEnd(b - 1), runEnd(b)) < 0
+        }
+        private def appendEntry(i: Int): Unit = {
+          nTurns += 1
+          if (!runNullText(i)) {
+            val s = if (i == 0) 0 else runEnd(i - 1)
+            val n = runEnd(i) - s
+            growDoc(n + 1)
+            if (anyText) { doc(docLen) = '\n'; docLen += 1 }
+            System.arraycopy(scratch, s, doc, docLen, n)
+            docLen += n
+            anyText = true
           }
         }
+        private def flushRun(): Unit = {
+          if (runN == 1) appendEntry(0)
+          else if (runN > 0) {
+            // insertion sort of entry indices (runs are tiny: tie groups)
+            val idx = new Array[Int](runN)
+            var i = 0
+            while (i < runN) { idx(i) = i; i += 1 }
+            i = 1
+            while (i < runN) {
+              val v = idx(i)
+              var j = i - 1
+              while (j >= 0 && runLt(v, idx(j))) { idx(j + 1) = idx(j); j -= 1 }
+              idx(j + 1) = v
+              i += 1
+            }
+            i = 0
+            while (i < runN) { appendEntry(idx(i)); i += 1 }
+          }
+          runN = 0
+          scratchLen = 0
+        }
+        private def emit(): org.apache.spark.sql.catalyst.InternalRow = {
+          flushRun()
+          val docStr = UTF8String.fromBytes(java.util.Arrays.copyOf(doc, docLen))
+          val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](cur, docStr, nTurns, docStr.numChars().toLong))
+          docLen = 0; nTurns = 0; anyText = false
+          lastIdxNull = false; idxSeen = false
+          r
+        }
+
+        override def hasNext: Boolean = {
+          if (pending != null) return true
+          if (done) return false
+          while (it.hasNext) {
+            val r = it.next()
+            val id = if (r.isNullAt(0)) null else r.getUTF8String(0)
+            val idxNull = r.isNullAt(1)
+            val idx = if (idxNull) 0 else r.getInt(1)
+            val sameConv = started &&
+              (if (cur == null) id == null else id != null && cur.equals(id))
+            val out =
+              if (started && !sameConv) { pending = emit(); true } else false
+            if (!sameConv) { cur = if (id == null) null else id.clone(); started = true }
+            if (idxSeen && (idxNull != lastIdxNull || (!idxNull && idx != lastIdx))) {
+              // null turn_idx sorts first (struct-field NullsFirst), so a
+              // null AFTER a non-null — or any decrease — is a violation
+              require(lastIdxNull || (!idxNull && idx >= lastIdx),
+                s"buildDocsSorted: partition not sorted by (conv_id, turn_idx) " +
+                  s"at conv_id=$id turn_idx=${if (idxNull) "null" else idx} " +
+                  s"after ${if (lastIdxNull) "null" else lastIdx}")
+              flushRun()
+            }
+            lastIdx = idx; lastIdxNull = idxNull; idxSeen = true
+            growRun()
+            if (r.isNullAt(2)) { runTsNull(runN) = true; runTs(runN) = 0L }
+            else { runTsNull(runN) = false; runTs(runN) = r.getLong(2) }
+            if (r.isNullAt(3)) runNullText(runN) = true
+            else {
+              runNullText(runN) = false
+              val t = r.getUTF8String(3)
+              val n = t.numBytes()
+              growScratch(n)
+              Platform.copyMemory(t.getBaseObject, t.getBaseOffset,
+                scratch, Platform.BYTE_ARRAY_OFFSET + scratchLen, n)
+              scratchLen += n
+            }
+            runEnd(runN) = scratchLen
+            runN += 1
+            if (out) return true
+          }
+          done = true
+          if (started) { pending = emit(); started = false; return true }
+          false
+        }
+        override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+          val r = pending; pending = null; r
+        }
       }
-    spark.createDataFrame(rdd, docsSchema)
+    }
+    org.apache.spark.sql.GraftBridge.internalCreateDataFrame(spark, rdd, docsSchema)
   }
 
   /** P3+P4: docs → signatures(conv_id, doc_len, shingles, minhash, simhash).
@@ -274,6 +340,14 @@ object DedupPipeline {
         col("sig.shingles").as("shingles"),
         col("sig.minhash").as("minhash"),
         col("sig.simhash").as("simhash"))
+
+  /** P4-only projection: (conv_id, simhash) for consumers that read ONLY
+    * the simhash — same shingle pass and fingerprint as `signatures` (the
+    * values are bit-identical, SignatureSpec) without the 64-affine-hash
+    * minhash loop, which is ~95% of the signature kernel's multiply-adds. */
+  def simhashSignatures(docs: DataFrame, cfg: DedupConfig): DataFrame =
+    docs.select(col("conv_id"),
+      graft.functions.simhash64(col("doc"), cfg.shingleK, cfg.seed).as("simhash"))
 
   /** Slice-1 UDF variant, kept for benchmarking expression-vs-UDF. */
   def signaturesUdf(docs: DataFrame, cfg: DedupConfig): DataFrame = {

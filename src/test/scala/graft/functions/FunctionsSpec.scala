@@ -26,6 +26,22 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash64 is bit-identical to text_signature(...).simhash") {
+    val turns = Transcripts.generate(60)
+    val docs = DedupPipeline.buildDocs(Transcripts.asDataFrame(spark, turns, 4))
+      .unionByName(Seq(("extra", "emoji ✨ and unicode ü text", 1, 25L))
+        .toDF("conv_id", "doc", "n_turns", "doc_len"))
+      .unionByName(Seq(("empty", "", 1, 0L))
+        .toDF("conv_id", "doc", "n_turns", "doc_len"))
+    val full = docs.select(col("conv_id"),
+        text_signature(col("doc"), cfg.shingleK, cfg.numHashes, cfg.seed)
+          .getField("simhash").as("simhash"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val only = DedupPipeline.simhashSignatures(docs, cfg)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full === only)
+  }
+
   test("expression path == UDF path on generated docs") {
     val turns = Transcripts.generate(50)
     val docs = DedupPipeline.buildDocs(Transcripts.asDataFrame(spark, turns, 4))
