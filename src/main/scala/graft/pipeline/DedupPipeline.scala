@@ -1038,12 +1038,32 @@ object DedupPipeline {
         .toDF("u", "v")
     }
 
-    val edgesPre = edges1.where(col("u") =!= col("v")).distinct()
-    // Materialize the deduped edge set once: the contraction probe and the
-    // first global round both read it.
-    val edgesBase = edgesPre.localCheckpoint(true)
-    edges1.unpersist(false)
+    // Star-round partition sizing, MEASURED and rejected (r6): deriving
+    // the round exchanges' width from the edge count (357k edges → 32
+    // partitions at 32 cores) read consistently SLOWER than the session's
+    // 256 in an interleaved A/B (star_on 3.1-3.2 s vs 2.4-2.5 s; 64
+    // partitions likewise) — the star wall at this size is the sequential
+    // job barriers per run, not per-task launch overhead, and 256 small
+    // tasks overlap stragglers/GC pauses better than 32 larger sorts. The
+    // env override stays for future same-sitting A/Bs; the default keeps
+    // the session conf (scoped-conf plumbing retained so an override is
+    // honored by every round exchange, then restored before the lazy
+    // final join below).
+    val starParts = sys.env.get("SPARK_GRAFT_CC_STAR_PARTS").map(_.toInt)
+      .getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", starParts.toString)
+    val converged0 = try {
 
+    // Round-latency audit (r6): at 357k edges the star wall is the chain
+    // of sequential job barriers, not shuffle bytes — so the up-front
+    // distinct+checkpoint pass is GONE (every production edge stream —
+    // verified pairs, the CC A/B parquet — is already distinct;
+    // largeStar's v>u filter drops self loops and its own distinct dedups
+    // the round output, so duplicates in a non-distinct caller stream
+    // cost only round-1 window width, never correctness), and each round
+    // below runs ONE job instead of two (fingerprint folded into the
+    // checkpoint-materializing job).
     val doContract = localContraction.getOrElse(prof("contraction probe") {
       // Locality probe: in-task union-find over two partitions of the
       // materialized edge set. yield = starEdges/inEdges = 1 (to the
@@ -1056,9 +1076,9 @@ object DedupPipeline {
       // pre-pass cuts the star wall 15-20% — the win comes from the
       // canonical (member, min) star form feeding round 1, not from the
       // raw edge-count reduction, so the cut sits near 1, not at the
-      // break-even of edge counts. Probe cost: a scan of 2/P of
-      // already-checkpointed edges.
-      val rdd = edgesBase.select(col("u"), col("v")).rdd
+      // break-even of edge counts. Probe cost: a scan of 2/P of the
+      // already-persisted edge cache.
+      val rdd = edges1.select(col("u"), col("v")).rdd
       val p = rdd.getNumPartitions
       if (p == 0) false
       else {
@@ -1080,27 +1100,58 @@ object DedupPipeline {
       }
     })
     var edges =
-      if (doContract) localContract(edgesBase).localCheckpoint(true)
-      else edgesBase
+      if (doContract) {
+        val c = localContract(edges1).localCheckpoint(true)
+        edges1.unpersist(false)
+        c
+      } else edges1.where(col("u") =!= col("v"))
 
+    // One JOB per round: checkpoint the round's RDD and compute the
+    // convergence fingerprint (count + xor of a per-row 64-bit hash —
+    // internal detection only, same collision class as the old
+    // bit_xor(xxhash64) agg) INSIDE the materializing runJob, then wrap
+    // the checkpointed RDD back as a flat-plan DataFrame. The old form
+    // paid a second agg job per round just to read back what the
+    // materialization had already streamed past.
+    val edgeSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("u",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType, nullable = true)))
     var converged = false
     var iter = 0
     var prevFp: (Long, Long) = (-1L, -1L)
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      val fpRow = next.agg(
-        count(lit(1)).as("cnt"),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("fp")).head()
-      val fp = (fpRow.getLong(0), fpRow.getLong(1))
+      val nextDf = smallStar(largeStar(edges))
+      // rows are reused by the scan/exchange — copy before caching
+      val rdd = nextDf.queryExecution.toRdd.map(_.copy()).localCheckpoint()
+      val partFps = spark.sparkContext.runJob(rdd,
+        (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+          var c = 0L
+          var x = 0L
+          while (it.hasNext) {
+            val r = it.next()
+            val hu = if (r.isNullAt(0)) 0 else r.getUTF8String(0).hashCode
+            val hv = if (r.isNullAt(1)) 0 else r.getUTF8String(1).hashCode
+            c += 1
+            x ^= (hu.toLong << 32) ^ (hv.toLong & 0xffffffffL)
+          }
+          (c, x)
+        })
+      val fp = (partFps.map(_._1).sum, partFps.map(_._2).foldLeft(0L)(_ ^ _))
       converged = fp == prevFp
       prevFp = fp
-      edges = next
+      edges = org.apache.spark.sql.GraftBridge.internalCreateDataFrame(
+        spark, rdd, edgeSchema)
+      if (iter == 0) edges1.unpersist(false)
       iter += 1
     }
     if (ccProf) println(s"[cc] global rounds: $iter")
+    edges
+    } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
 
     // After convergence every edge is (member, root) with root = component min.
-    val roots = edges.groupBy(col("u")).agg(min(col("v")).as("root"))
+    val roots = converged0.groupBy(col("u")).agg(min(col("v")).as("root"))
     allNodes.select(col("conv_id"))
       .join(roots.select(col("u").as("conv_id"), col("root")), Seq("conv_id"), "left")
       .select(col("conv_id"),
