@@ -139,15 +139,32 @@ object BucketedCorpus {
       // rule for the planning window (buildDocsSorted resolves its RDD
       // eagerly) and verify on the executed plan; if the scan still is
       // not bucket-aligned, fall back to the always-correct groupBy.
+      // Session-conf toggle during the planning window: NOT thread-safe —
+      // a concurrent query planned in this session inside the window would
+      // see the rule disabled (and the finally-restore could clobber a
+      // concurrent change). Single-threaded planning per session is the
+      // documented assumption here, as for the other scoped-conf seams
+      // (q28's state sizing, the CC star override).
       val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
       val prior = spark.conf.getOption(key)
       spark.conf.set(key, "false")
       try {
         val projected = filtered(read(spark, dir))
           .select(col("conv_id"), col("turn_idx"), col("ts"), col("text"))
-        val aligned = projected.queryExecution.executedPlan.collect {
-          case s: org.apache.spark.sql.execution.FileSourceScanExec => s.bucketedScan
-        }.forall(identity)
+        // recurse into adaptive wrappers (AdaptiveSparkPlanExec has no
+        // children, so a bare collect can miss the scan) and require at
+        // least one VISIBLE bucketed scan: an empty collect was vacuously
+        // "aligned" (ADVICE r5), silently taking the streaming path
+        // without the verification this branch promises
+        def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Boolean] =
+          p.collect {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              scans(a.inputPlan)
+            case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+              Seq(s.bucketedScan)
+          }.flatten
+        val found = scans(projected.queryExecution.executedPlan)
+        val aligned = found.nonEmpty && found.forall(identity)
         if (aligned) graft.pipeline.DedupPipeline.buildDocsSorted(projected)
         else graft.pipeline.DedupPipeline.buildDocs(filtered(readAuto(spark, dir)))
       } finally prior match {

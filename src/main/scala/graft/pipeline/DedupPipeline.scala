@@ -144,15 +144,26 @@ object DedupPipeline {
     // by the specs), so only the direct-scan shape is rejected. Production
     // callers go through BucketedCorpus.readDocs, which pins
     // bucketedScan=true before calling here.
+    // AQE hides the tree behind AdaptiveSparkPlanExec (no children), so
+    // collect/exists must recurse into its inputPlan — otherwise an
+    // unaligned split scan under an adaptive wrapper passed the guard
+    // unverified, and the mere PRESENCE of the wrapper counted as
+    // "repartitioned" (ADVICE r5: only a real ShuffleExchange
+    // re-establishes partitioning).
+    def deepCollect[A](p: org.apache.spark.sql.execution.SparkPlan)(
+        f: PartialFunction[org.apache.spark.sql.execution.SparkPlan, A]): Seq[A] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          deepCollect(a.inputPlan)(f)
+        case q if f.isDefinedAt(q) => Seq(f(q))
+      }.flatten
     val plan = projected.queryExecution.executedPlan
-    val unalignedScans = plan.collect {
+    val unalignedScans = deepCollect(plan) {
       case s: org.apache.spark.sql.execution.FileSourceScanExec if !s.bucketedScan => s
     }
-    val repartitioned = plan.exists {
-      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
-      case _: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => true
-      case _ => false
-    }
+    val repartitioned = deepCollect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.nonEmpty
     require(unalignedScans.isEmpty || repartitioned,
       "buildDocsSorted: input is a direct file scan without bucket-aligned " +
         "partitions (bucketedScan=false) — file splitting would silently " +

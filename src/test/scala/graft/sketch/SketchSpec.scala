@@ -157,6 +157,46 @@ class FreqSketchSpec extends AnyFunSuite {
     assert(top.head === 1L)
   }
 
+  test("purge median: reference sample bound, exact under 1024 active") {
+    // sample bound mirrors items_sketch.go:80 (min(1024, capacity))
+    assert(new FreqSketch[Long](10).purgeSampleSize === 768)
+    assert(new FreqSketch[Long](24).purgeSampleSize === 1024)
+    // ≤1024 active counters: the sample covers the whole map, so the
+    // median is the exact full-map median — the pre-r6 behavior for every
+    // regime the driver queries exercise
+    val s = new FreqSketch[Long](6) // capacity 48
+    for (i <- 0 until 48) s.update(i.toLong, i + 1L)
+    val expected = {
+      val vs = (1 to 48).map(_.toLong).toArray
+      QuickSelect.select(vs, vs.length / 2)
+    }
+    assert(s.purgeMedian() === expected)
+    // error contracts hold under the sampled purge regime
+    val p = new FreqSketch[Long](6)
+    val heavy = Seq(1L -> 10000L, 2L -> 5000L)
+    heavy.foreach { case (k, w) => p.update(k, w) }
+    val rnd = new java.util.Random(13)
+    for (_ <- 1 to 30000) p.update(2000L + rnd.nextInt(8000))
+    assert(p.offset > 0)
+    heavy.foreach { case (k, t) =>
+      assert(p.lowerBound(k) <= t && t <= p.upperBound(k), s"bounds for $k")
+    }
+  }
+
+  test("purge median cost is sample-bounded, not map-bounded") {
+    // 300k active counters at lgMaxMapSize 24: the r5 full-map form copied
+    // and quickselected 300k longs per call (1000 calls ≈ several seconds
+    // and ~2.4 GB of transient arrays); the sampled form touches 1024
+    val s = new FreqSketch[Long](24)
+    for (i <- 0L until 300000L) s.update(i, i % 97 + 1)
+    val t0 = System.nanoTime()
+    var acc = 0L
+    for (_ <- 1 to 1000) acc += s.purgeMedian()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(acc > 0)
+    assert(sec < 2.0, f"1000 sampled medians on a 300k-counter map took $sec%.2f s")
+  }
+
   test("no-false-positives vs no-false-negatives") {
     val s = new FreqSketch[String](4) // tiny: maxMapSize=16, cap=12
     for (i <- 1 to 200) s.update(s"noise$i")
