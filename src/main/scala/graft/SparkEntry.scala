@@ -349,7 +349,12 @@ object SparkEntry {
     // DuckDB-checkable (kind = id % 3 over range(2000))
     "q19_media_stats" -> ((s, _) => {
       import graft.ops.Multimodal
+      // persisted (r6): decode, resize and frameSample each consumed the
+      // generator lazily — the seeded PNG/WAV/GIF ENCODING of all 2000
+      // payloads ran three times (deterministic, so results never changed;
+      // only the repeated encode work goes away)
       val media = Multimodal.syntheticMedia(s, 2000)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val meta = Multimodal.decode(media).toDF()
       val resized = Multimodal.decode(Multimodal.resize(media, 0.5)).toDF()
         .select(col("media_id"), col("width").as("rw"), col("height").as("rh"))
@@ -596,7 +601,13 @@ object SparkEntry {
     // (per-run sampling) does NOT give a resumed job.
     "q27_kll_range_partition" -> ((s, dir) => {
       import graft.ops.SkewTools
+      // persisted (r6): the two layout() runs, the boundary probe and the
+      // bucket-count check are six scans of the same two columns — the
+      // operator under test (repartitionByKllRange) still computes its own
+      // boundaries per run off this cache, so the determinism contract is
+      // exercised unchanged
       val ev = t(s, dir, "events").select(col("event_id"), col("value"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def layout(): Array[(Int, Long, Long)] = {
         SkewTools.repartitionByKllRange(ev, "value", 8)
           .withColumn("pid", spark_partition_id())
@@ -640,13 +651,16 @@ object SparkEntry {
       // from the session shuffle-partition conf: at the bench's 256 the
       // per-partition HDFS state commits dominate the query (measured
       // 36+93 summed commit-seconds for 5001 sessions — 85 s wall under
-      // post-bench I/O pressure, 13 s of it streaming work); 32 state
-      // partitions fit this state size and cut the commit fan-out 8x.
-      // Production streams size this to their state volume, not to the
-      // batch shuffle width — scoped here, restored after.
+      // post-bench I/O pressure, 13 s of it streaming work); r5 cut the
+      // commit fan-out 8x with 32 state partitions, and the r6 interleaved
+      // A/B (Q28Prof, 2 rounds each of 8/16/32) reads 8 partitions
+      // fastest for this state volume (5.2 s vs 5.5-6.2 stream wall —
+      // both batches commit every partition's state files, so fan-out is
+      // paid twice). Production streams size this to their state volume,
+      // not to the batch shuffle width — scoped here, restored after.
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "32")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
         StreamingDedup.sessionDocs(in, watermark = "1 minute", gap = "5 minutes")
           .writeStream.format("memory").queryName(name)
           .option("checkpointLocation", s"$base/ckpt")

@@ -1209,7 +1209,16 @@ object DedupPipeline {
       val w = Window.partitionBy(pcols: _*).orderBy(col("id"))
       val wAll = Window.partitionBy(pcols: _*).orderBy(col("id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // EXPLICIT repartition for the same wave-quantization reason as the
+      // string path's chainStar (r5): left to AQE, the window exchange on
+      // the fused sig+band stream coalesces to ~cores (34 partitions at 32
+      // cores on the 1M-conv corpus — BenchStages r6: 34 tasks, med 1.88 s
+      // → a 2-wave stage with a 2-task second wave, ~1.8 s of idle width).
+      // An explicit count is honored by AQE and satisfies the window's
+      // required distribution, so no second exchange appears.
+      val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
       df
+        .repartition(nParts, pcols: _*)
         .withColumn("prev", lag(col("id"), 1).over(w))
         .withColumn("bmin", first(col("id")).over(wAll))
         .select(explode(array(

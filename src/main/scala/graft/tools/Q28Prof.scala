@@ -32,10 +32,16 @@ object Q28Prof {
       .schema("conv_id STRING, turn_idx INT, ts TIMESTAMP, text STRING")
       .parquet(shared)
     val name = "q28prof"
-    val q = StreamingDedup.sessionDocs(in, watermark = "1 minute", gap = "5 minutes")
-      .writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", s"$base/ckpt")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    // mirror the query's scoped state-partition sizing (SparkEntry q28)
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_Q28_STATE_PARTS", "32"))
+      StreamingDedup.sessionDocs(in, watermark = "1 minute", gap = "5 minutes")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
     t("stream")(q.awaitTermination())
     q.recentProgress.foreach { p =>
       println(s"[q28] batch=${p.batchId} rows=${p.numInputRows} " +
